@@ -1,0 +1,691 @@
+"""Exact 2-D geometry kernel (host side, numpy).
+
+This is the framework's replacement for the GEOS operations the reference
+delegates to shapely/geopandas/momepy. It implements exactly the operation set
+the planning simulator needs — no general-purpose GIS:
+
+  * predicates/measures: distances, intersects, point-in-polygon
+  * constructions: convex clip (Sutherland–Hodgman with pinch splitting),
+    difference against a convex cutter, convex hull, minimum rotated
+    rectangle, envelopes, single-sided segment buffers, vertex snapping
+  * shape metrics matching momepy (rectangularity, equivalent rectangular
+    index, square compactness) used for node "domain" features
+    (reference: urban_planning/envs/plan_client.py:127-131)
+
+All polygon rings are open (N, 2) float64 arrays, CCW orientation.
+The jitted TPU environment mirrors a subset of these routines on fixed-size
+buffers; this module is the differential-testing oracle for those kernels.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from urban_tpu.geometry.base import Geometry, POINT, LINE, POLY
+
+EPS = 1e-9
+
+
+# ---------------------------------------------------------------------------
+# distances
+# ---------------------------------------------------------------------------
+
+def point_segment_distance(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Distance from point(s) p to segment(s) a-b. Shapes broadcast on (..., 2)."""
+    p = np.asarray(p, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    ab = b - a
+    ap = p - a
+    denom = (ab ** 2).sum(axis=-1)
+    t = np.where(denom > 0, (ap * ab).sum(axis=-1) / np.maximum(denom, EPS), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    return np.sqrt(((p - proj) ** 2).sum(axis=-1))
+
+
+def segment_segment_distance(a1, a2, b1, b2) -> float:
+    """Distance between two segments."""
+    if segments_intersect(a1, a2, b1, b2):
+        return 0.0
+    return min(
+        float(point_segment_distance(a1, b1, b2)),
+        float(point_segment_distance(a2, b1, b2)),
+        float(point_segment_distance(b1, a1, a2)),
+        float(point_segment_distance(b2, a1, a2)),
+    )
+
+
+def _cross(o, a, b) -> float:
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+
+def segments_intersect(a1, a2, b1, b2, tol: float = EPS) -> bool:
+    """True if segments a1-a2 and b1-b2 intersect (touching counts)."""
+    d1 = _cross(b1, b2, a1)
+    d2 = _cross(b1, b2, a2)
+    d3 = _cross(a1, a2, b1)
+    d4 = _cross(a1, a2, b2)
+    if ((d1 > tol and d2 < -tol) or (d1 < -tol and d2 > tol)) and \
+       ((d3 > tol and d4 < -tol) or (d3 < -tol and d4 > tol)):
+        return True
+    # collinear / endpoint-touch cases via distance
+    if point_segment_distance(np.asarray(a1), np.asarray(b1), np.asarray(b2)) <= tol:
+        return True
+    if point_segment_distance(np.asarray(a2), np.asarray(b1), np.asarray(b2)) <= tol:
+        return True
+    if point_segment_distance(np.asarray(b1), np.asarray(a1), np.asarray(a2)) <= tol:
+        return True
+    if point_segment_distance(np.asarray(b2), np.asarray(a1), np.asarray(a2)) <= tol:
+        return True
+    return False
+
+
+def point_in_ring(p, ring: np.ndarray, tol: float = EPS) -> int:
+    """Classify point vs polygon ring: +1 inside, 0 on boundary, -1 outside."""
+    p = np.asarray(p, dtype=np.float64).reshape(2)
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    if float(point_segment_distance(p, a, b).min()) <= tol:
+        return 0
+    # ray casting along +x
+    x, y = p
+    ax, ay = a[:, 0], a[:, 1]
+    bx, by = b[:, 0], b[:, 1]
+    cond = (ay > y) != (by > y)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        xin = ax + (y - ay) * (bx - ax) / (by - ay)
+    crossings = np.count_nonzero(cond & (x < xin))
+    return 1 if (crossings % 2 == 1) else -1
+
+
+def point_ring_distance(p, ring: np.ndarray) -> float:
+    """Distance from a point to the polygon (0 if inside/on boundary)."""
+    if point_in_ring(p, ring) >= 0:
+        return 0.0
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    return float(point_segment_distance(np.asarray(p, dtype=np.float64), a, b).min())
+
+
+def _ring_edges(ring: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    return ring, np.roll(ring, -1, axis=0)
+
+
+def geometry_distance(g1: Geometry, g2: Geometry) -> float:
+    """Distance between two geometries (0 when they intersect)."""
+    if g1.kind > g2.kind:
+        g1, g2 = g2, g1
+    if g1.kind == POINT and g2.kind == POINT:
+        return float(np.linalg.norm(g1.coords[0] - g2.coords[0]))
+    if g1.kind == POINT and g2.kind == LINE:
+        a, b = g2.coords[:-1], g2.coords[1:]
+        return float(point_segment_distance(g1.coords[0], a, b).min())
+    if g1.kind == POINT and g2.kind == POLY:
+        return point_ring_distance(g1.coords[0], g2.coords)
+    if g1.kind == LINE and g2.kind == LINE:
+        best = math.inf
+        for i in range(len(g1.coords) - 1):
+            for j in range(len(g2.coords) - 1):
+                best = min(best, segment_segment_distance(
+                    g1.coords[i], g1.coords[i + 1], g2.coords[j], g2.coords[j + 1]))
+                if best == 0.0:
+                    return 0.0
+        return best
+    if g1.kind == LINE and g2.kind == POLY:
+        if any(point_in_ring(p, g2.coords) >= 0 for p in g1.coords):
+            return 0.0
+        ra, rb = _ring_edges(g2.coords)
+        best = math.inf
+        for i in range(len(g1.coords) - 1):
+            a1, a2 = g1.coords[i], g1.coords[i + 1]
+            for j in range(len(ra)):
+                best = min(best, segment_segment_distance(a1, a2, ra[j], rb[j]))
+                if best == 0.0:
+                    return 0.0
+        return best
+    # POLY-POLY
+    if any(point_in_ring(p, g2.coords) >= 0 for p in g1.coords):
+        return 0.0
+    if any(point_in_ring(p, g1.coords) >= 0 for p in g2.coords):
+        return 0.0
+    ra1, rb1 = _ring_edges(g1.coords)
+    ra2, rb2 = _ring_edges(g2.coords)
+    best = math.inf
+    for i in range(len(ra1)):
+        for j in range(len(ra2)):
+            best = min(best, segment_segment_distance(ra1[i], rb1[i], ra2[j], rb2[j]))
+            if best == 0.0:
+                return 0.0
+    return best
+
+
+def geometries_intersect(g1: Geometry, g2: Geometry, tol: float = EPS) -> bool:
+    """True when geometries touch or overlap (within tol).
+
+    This is the contiguity predicate: the reference builds the plan graph with
+    libpysal fuzzy_contiguity, i.e. geometry-intersects adjacency
+    (reference: urban_planning/envs/plan_client.py:258-263)."""
+    b1, b2 = _geom_bounds(g1), _geom_bounds(g2)
+    if (b1[0] - tol > b2[2] or b2[0] - tol > b1[2]
+            or b1[1] - tol > b2[3] or b2[1] - tol > b1[3]):
+        return False
+    return geometry_distance(g1, g2) <= tol
+
+
+def _geom_bounds(g: Geometry):
+    return g.bounds
+
+
+# ---------------------------------------------------------------------------
+# ring hygiene
+# ---------------------------------------------------------------------------
+
+def dedupe_ring(ring: np.ndarray, tol: float = 1e-9) -> np.ndarray:
+    """Remove consecutive (near-)duplicate vertices, including wraparound."""
+    if len(ring) == 0:
+        return ring
+    keep = [0]
+    for i in range(1, len(ring)):
+        if np.linalg.norm(ring[i] - ring[keep[-1]]) > tol:
+            keep.append(i)
+    out = ring[keep]
+    while len(out) >= 2 and np.linalg.norm(out[0] - out[-1]) <= tol:
+        out = out[:-1]
+    return out
+
+
+def remove_collinear(ring: np.ndarray, tol: float = 1e-9) -> np.ndarray:
+    """Drop vertices lying exactly on the segment between their neighbours."""
+    if len(ring) < 4:
+        return ring
+    keep = []
+    n = len(ring)
+    for i in range(n):
+        prev_v = ring[(i - 1) % n]
+        cur = ring[i]
+        nxt = ring[(i + 1) % n]
+        area2 = abs(_cross(prev_v, cur, nxt))
+        base = max(np.linalg.norm(nxt - prev_v), 1.0)
+        if area2 / base > tol:
+            keep.append(i)
+    if len(keep) < 3:
+        return ring
+    return ring[keep]
+
+
+def ring_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * abs(float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)))
+
+
+def split_pinched_ring(ring: np.ndarray, tol: float = 1e-9,
+                       min_area: float = 1e-9) -> List[np.ndarray]:
+    """Split a ring that visits a vertex twice into simple sub-rings.
+
+    Sutherland–Hodgman clipping of a non-convex subject can emit a single ring
+    with zero-width bridges connecting what are geometrically separate pieces;
+    this recovers the pieces (the reference gets MultiPolygons from GEOS and
+    iterates their parts, plan_client.py:460-467)."""
+    ring = dedupe_ring(ring, tol)
+    n = len(ring)
+    if n < 3:
+        return []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if np.linalg.norm(ring[i] - ring[j]) <= tol:
+                first = np.vstack([ring[:i], ring[j:]])
+                second = ring[i:j]
+                out = []
+                for piece in (first, second):
+                    out.extend(split_pinched_ring(piece, tol, min_area))
+                return out
+    if ring_area(ring) <= min_area:
+        return []
+    return [ring]
+
+
+# ---------------------------------------------------------------------------
+# clipping
+# ---------------------------------------------------------------------------
+
+def halfplane_clip(ring: np.ndarray, a: np.ndarray, b: np.ndarray,
+                   keep_left: bool = True, tol: float = 1e-9,
+                   min_area: float = 1e-9) -> List[np.ndarray]:
+    """Clip a simple polygon ring against the half-plane left of line a→b.
+
+    Unlike plain Sutherland–Hodgman this correctly SPLITS the result into
+    disjoint simple rings when a non-convex subject crosses the line several
+    times: kept boundary chains are sewn together by pairing their crossing
+    points sorted along the clip line (alternating inside/outside spans).
+    This matches GEOS returning a MultiPolygon, which the reference iterates
+    (reference: urban_planning/envs/plan_client.py:460-467)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d = b - a
+    nd = np.linalg.norm(d)
+    if nd < EPS:
+        raise ValueError('degenerate clip line')
+    u = d / nd
+    nrm = np.array([-u[1], u[0]])
+    if not keep_left:
+        nrm = -nrm
+
+    ring = dedupe_ring(np.asarray(ring, dtype=np.float64), tol)
+    if len(ring) < 3:
+        return []
+    s = (ring - a) @ nrm
+    s = np.where(np.abs(s) <= tol, 0.0, s)
+    if np.all(s >= 0):
+        return [ring] if ring_area(ring) > min_area else []
+    if np.all(s <= 0):
+        return []
+
+    # rotate the ring so it starts at a strictly removed vertex, making kept
+    # chains contiguous in the traversal
+    start = int(np.argmin(s))
+    ring = np.roll(ring, -start, axis=0)
+    s = np.roll(s, -start)
+
+    chains: List[List[np.ndarray]] = []
+    cur_chain: Optional[List[np.ndarray]] = None
+    n = len(ring)
+    for i in range(n):
+        cur, nxt = ring[i], ring[(i + 1) % n]
+        s_cur, s_nxt = s[i], s[(i + 1) % n]
+        if s_cur >= 0:
+            if cur_chain is None:
+                cur_chain = []
+            cur_chain.append(cur)
+            if s_nxt < 0:
+                if s_cur > 0:
+                    t = s_cur / (s_cur - s_nxt)
+                    cur_chain.append(cur + t * (nxt - cur))
+                chains.append(cur_chain)
+                cur_chain = None
+        else:
+            if s_nxt > 0:
+                t = s_cur / (s_cur - s_nxt)
+                cur_chain = [cur + t * (nxt - cur)]
+            # s_nxt == 0 handled at the next vertex; s_nxt < 0 stays removed
+    if cur_chain:
+        chains.append(cur_chain)
+
+    chains = [[np.asarray(p) for p in ch] for ch in chains if len(ch) >= 1]
+    if not chains:
+        return []
+    if len(chains) == 1:
+        out = dedupe_ring(np.asarray(chains[0]), tol)
+        return [out] if len(out) >= 3 and ring_area(out) > min_area else []
+
+    # pair chain endpoints along the clip line: spans between consecutive
+    # crossings alternate inside/outside the kept region
+    endpoints = []  # (t, kind, chain_idx) kind 0=chain end (exit), 1=chain start (entry)
+    for ci, ch in enumerate(chains):
+        t_start = float((ch[0] - a) @ u)
+        t_end = float((ch[-1] - a) @ u)
+        endpoints.append((t_start, 1, ci))
+        endpoints.append((t_end, 0, ci))
+    endpoints.sort(key=lambda e: (e[0], e[1]))
+
+    # sew: bridge spans (c0,c1), (c2,c3), ... are inside the kept region
+    next_chain = {}
+    for k in range(0, len(endpoints) - 1, 2):
+        e0, e1 = endpoints[k], endpoints[k + 1]
+        exit_ep = e0 if e0[1] == 0 else e1
+        entry_ep = e1 if e0[1] == 0 else e0
+        next_chain[exit_ep[2]] = entry_ep[2]
+
+    rings: List[np.ndarray] = []
+    used = set()
+    for ci in range(len(chains)):
+        if ci in used:
+            continue
+        pts: List[np.ndarray] = []
+        cur = ci
+        while cur not in used:
+            used.add(cur)
+            pts.extend(chains[cur])
+            cur = next_chain.get(cur, ci)
+        out = dedupe_ring(np.asarray(pts), tol)
+        if len(out) >= 3 and ring_area(out) > min_area:
+            rings.append(out)
+    return rings
+
+
+def clip_polygon_convex(ring: np.ndarray, clipper: np.ndarray,
+                        min_area: float = 1e-9) -> List[np.ndarray]:
+    """Intersect a simple polygon with a convex polygon.
+
+    Returns the resulting simple rings (possibly several when the subject is
+    non-convex). Plays the role of GEOS ``polygon.intersection(rect)`` for the
+    convex cutters the slicer produces (reference khrylib/utils/shapely.py:773)."""
+    clipper = ensure_ccw(dedupe_ring(np.asarray(clipper, dtype=np.float64)))
+    pieces = [np.asarray(ring, dtype=np.float64)]
+    m = len(clipper)
+    for i in range(m):
+        nxt: List[np.ndarray] = []
+        for p in pieces:
+            nxt.extend(halfplane_clip(p, clipper[i], clipper[(i + 1) % m],
+                                      keep_left=True, min_area=min_area))
+        pieces = nxt
+        if not pieces:
+            return []
+    return pieces
+
+
+def difference_convex(ring: np.ndarray, cutter: np.ndarray,
+                      min_area: float = 1e-9) -> List[np.ndarray]:
+    """Subtract a convex polygon from a simple polygon.
+
+    Decomposes the complement of the cutter into half-plane wedges:
+    A \\ C = (A ∩ H1ᶜ) ∪ (A ∩ H1 ∩ H2ᶜ) ∪ ...  Each piece is produced by
+    half-plane clips only, so the result is exact for convex cutters. This is
+    how the remaining feasible region is computed after carving out a parcel
+    (reference: plan_client.py:445-471 uses GEOS ``difference``)."""
+    cutter = ensure_ccw(dedupe_ring(np.asarray(cutter, dtype=np.float64)))
+    pieces: List[np.ndarray] = []
+    current = [np.asarray(ring, dtype=np.float64)]
+    m = len(cutter)
+    for i in range(m):
+        a, b = cutter[i], cutter[(i + 1) % m]
+        next_current: List[np.ndarray] = []
+        for r in current:
+            pieces.extend(halfplane_clip(r, a, b, keep_left=False, min_area=min_area))
+            next_current.extend(halfplane_clip(r, a, b, keep_left=True,
+                                               min_area=min_area))
+        current = next_current
+        if not current:
+            break
+    merged = _merge_adjacent_pieces(pieces, min_area)
+    return merged
+
+
+def _merge_adjacent_pieces(pieces: List[np.ndarray], min_area: float) -> List[np.ndarray]:
+    """Union difference wedges that share a cut edge back into single pieces.
+
+    The wedge decomposition can split one connected remaining region across
+    several half-plane wedges; GEOS would return it as a single polygon. We
+    merge pieces that share a (reversed) edge."""
+    pieces = [p for p in pieces if ring_area(p) > min_area]
+    changed = True
+    while changed and len(pieces) > 1:
+        changed = False
+        for i in range(len(pieces)):
+            for j in range(i + 1, len(pieces)):
+                # mutually insert vertices lying on the other ring's edges so
+                # partially-overlapping shared runs become exact shared edges
+                pi = _insert_on_segments(pieces[i], pieces[j], 1e-7, closed=True)
+                pj = _insert_on_segments(pieces[j], pi, 1e-7, closed=True)
+                merged = _try_merge(pi, pj)
+                if merged is not None:
+                    pieces = ([pieces[k] for k in range(len(pieces)) if k not in (i, j)]
+                              + [merged])
+                    changed = True
+                    break
+            if changed:
+                break
+    return [remove_collinear(dedupe_ring(p)) for p in pieces]
+
+
+def _try_merge(r1: np.ndarray, r2: np.ndarray, tol: float = 1e-7) -> Optional[np.ndarray]:
+    """Merge two CCW rings sharing one edge (run) traversed in opposite order."""
+    n1, n2 = len(r1), len(r2)
+    for i in range(n1):
+        a1, b1 = r1[i], r1[(i + 1) % n1]
+        for j in range(n2):
+            a2, b2 = r2[j], r2[(j + 1) % n2]
+            if (np.linalg.norm(a1 - b2) <= tol and np.linalg.norm(b1 - a2) <= tol
+                    and np.linalg.norm(a1 - b1) > tol):
+                # r1: ... a1 -> b1 ...; r2: ... a2(=b1) -> b2(=a1) ...
+                part1 = [r1[(i + 1 + k) % n1] for k in range(n1)]      # b1 ... a1
+                part2 = [r2[(j + 2 + k) % n2] for k in range(n2 - 2)]  # after b2 ... before a2
+                merged = dedupe_ring(np.asarray(part1 + part2))
+                if len(merged) >= 3:
+                    return merged
+    return None
+
+
+def ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    x, y = ring[:, 0], ring[:, 1]
+    if 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)) < 0:
+        return ring[::-1]
+    return ring
+
+
+# ---------------------------------------------------------------------------
+# hulls and rectangles
+# ---------------------------------------------------------------------------
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain; returns CCW hull ring."""
+    pts = np.unique(np.asarray(points, dtype=np.float64).reshape(-1, 2), axis=0)
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    if len(pts) <= 2:
+        return pts
+    lower: List[np.ndarray] = []
+    for p in pts:
+        while len(lower) >= 2 and _cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: List[np.ndarray] = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and _cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def envelope(points: np.ndarray) -> np.ndarray:
+    """Axis-aligned bounding rectangle as a CCW ring (GEOS ``envelope``)."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    x0, y0 = pts.min(axis=0)
+    x1, y1 = pts.max(axis=0)
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+
+
+def min_rotated_rect(points: np.ndarray) -> np.ndarray:
+    """Minimum-area rotated rectangle (GEOS ``minimum_rotated_rectangle``)."""
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        return np.repeat(hull, 4, axis=0)
+    if len(hull) == 2:
+        return np.array([hull[0], hull[1], hull[1], hull[0]])
+    best_area = math.inf
+    best_rect = None
+    n = len(hull)
+    for i in range(n):
+        d = hull[(i + 1) % n] - hull[i]
+        nd = np.linalg.norm(d)
+        if nd < EPS:
+            continue
+        ux = d / nd
+        uy = np.array([-ux[1], ux[0]])
+        proj_x = hull @ ux
+        proj_y = hull @ uy
+        w = proj_x.max() - proj_x.min()
+        h = proj_y.max() - proj_y.min()
+        area = w * h
+        if area < best_area:
+            best_area = area
+            x0, x1 = proj_x.min(), proj_x.max()
+            y0, y1 = proj_y.min(), proj_y.max()
+            best_rect = np.array([
+                ux * x0 + uy * y0, ux * x1 + uy * y0,
+                ux * x1 + uy * y1, ux * x0 + uy * y1])
+    return best_rect
+
+
+def single_sided_buffer(a: np.ndarray, b: np.ndarray, dist: float) -> np.ndarray:
+    """Rectangle swept from segment a→b to its left by |dist| (right if dist<0).
+
+    Matches GEOS ``LineString.buffer(dist, single_sided=True)`` for 2-point
+    lines (used by the part-edge slicer, khrylib/utils/shapely.py:363-378)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    d = b - a
+    nd = np.linalg.norm(d)
+    if nd < EPS:
+        raise ValueError('degenerate segment')
+    nrm = np.array([-d[1], d[0]]) / nd * dist
+    ring = np.array([a, b, b + nrm, a + nrm])
+    return ensure_ccw(ring)
+
+
+# ---------------------------------------------------------------------------
+# snapping
+# ---------------------------------------------------------------------------
+
+def snap_coords(coords: np.ndarray, targets: np.ndarray, tol: float) -> np.ndarray:
+    """Move each coordinate to the nearest target vertex within tol."""
+    if len(targets) == 0 or len(coords) == 0:
+        return coords.copy()
+    out = coords.copy()
+    d = np.linalg.norm(coords[:, None, :] - targets[None, :, :], axis=-1)
+    nearest = d.argmin(axis=1)
+    move = d[np.arange(len(coords)), nearest] <= tol
+    out[move] = targets[nearest[move]]
+    return out
+
+
+def snap_geometry(geom: Geometry, targets: np.ndarray, tol: float,
+                  insert: bool = True) -> Geometry:
+    """GEOS-style snap: move vertices to nearby targets and insert target
+    vertices that lie on segments (within tol)."""
+    targets = np.asarray(targets, dtype=np.float64).reshape(-1, 2)
+    coords = snap_coords(geom.coords, targets, tol)
+    if insert and geom.kind in (LINE, POLY) and len(targets) > 0:
+        coords = _insert_on_segments(coords, targets, tol, closed=(geom.kind == POLY))
+    if geom.kind == POLY:
+        coords = dedupe_ring(coords)
+        if len(coords) < 3:
+            return Geometry(POINT, coords[:1]) if len(coords) else geom
+        return Geometry(POLY, coords)
+    if geom.kind == LINE:
+        # keep duplicate-free polyline
+        keep = [0]
+        for i in range(1, len(coords)):
+            if np.linalg.norm(coords[i] - coords[keep[-1]]) > 1e-12:
+                keep.append(i)
+        coords = coords[keep]
+        if len(coords) < 2:
+            return Geometry(POINT, coords[:1])
+        return Geometry(LINE, coords)
+    return Geometry(POINT, coords)
+
+
+def _insert_on_segments(coords: np.ndarray, targets: np.ndarray, tol: float,
+                        closed: bool) -> np.ndarray:
+    segs = len(coords) if closed else len(coords) - 1
+    out: List[np.ndarray] = []
+    for i in range(segs):
+        a = coords[i]
+        b = coords[(i + 1) % len(coords)]
+        out.append(a)
+        d = point_segment_distance(targets, a[None, :], b[None, :])
+        on_seg = np.where(d <= tol)[0]
+        inserts = []
+        for j in on_seg:
+            t = np.dot(targets[j] - a, b - a) / max(np.dot(b - a, b - a), EPS)
+            if tol < np.linalg.norm(targets[j] - a) and tol < np.linalg.norm(targets[j] - b):
+                inserts.append((t, targets[j]))
+        for _, pt in sorted(inserts, key=lambda x: x[0]):
+            out.append(pt)
+    if not closed:
+        out.append(coords[-1])
+    return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# polygon simplification (ports of the reference helpers)
+# ---------------------------------------------------------------------------
+
+def get_angles_deg(vec_1: np.ndarray, vec_2: np.ndarray) -> float:
+    """Signed angle between two vectors in degrees
+    (reference: khrylib/utils/shapely.py:30-45)."""
+    dot = float(np.dot(vec_1, vec_2))
+    det = float(vec_1[0] * vec_2[1] - vec_1[1] * vec_2[0])
+    return math.degrees(math.atan2(det, dot))
+
+
+def simplify_ring_by_angle(ring: np.ndarray, deg_tol: float = 1.0) -> np.ndarray:
+    """Drop vertices where successive edges turn by less than deg_tol degrees
+    (reference: khrylib/utils/shapely.py:48-73)."""
+    closed = np.vstack([ring, ring[:1]])
+    vecs = np.diff(closed, axis=0)
+    n = len(vecs)
+    keep = []
+    for i in range(n):
+        ang = abs(get_angles_deg(vecs[i], vecs[(i + 1) % n]))
+        if ang > deg_tol:
+            keep.append((i + 1) % len(ring))
+    if len(keep) < 3:
+        return ring
+    return ring[sorted(keep)]
+
+
+def simplify_ring_by_distance(ring: np.ndarray, distance_tol: float = 1.0) -> np.ndarray:
+    """Drop vertices closer than distance_tol to their predecessor
+    (reference: khrylib/utils/shapely.py:76-95)."""
+    closed = np.vstack([ring, ring[:1]])
+    vecs = np.diff(closed, axis=0)
+    lengths = np.linalg.norm(vecs, axis=1)
+    keep = [(i + 1) % len(ring) for i in range(len(vecs)) if lengths[i] >= distance_tol]
+    if len(keep) < 3:
+        return ring
+    return ring[sorted(keep)]
+
+
+def simplify_ring_dp(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker ring simplification (GEOS ``simplify`` with
+    preserve_topology for our simple convex-ish rings)."""
+    if len(ring) <= 4:
+        return ring
+    closed = np.vstack([ring, ring[:1]])
+
+    def dp(pts: np.ndarray) -> np.ndarray:
+        if len(pts) <= 2:
+            return pts
+        a, b = pts[0], pts[-1]
+        d = point_segment_distance(pts[1:-1], a[None], b[None])
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            left = dp(pts[:imax + 2])
+            right = dp(pts[imax + 1:])
+            return np.vstack([left[:-1], right])
+        return np.vstack([a, b])
+
+    # anchor at two extreme vertices to simplify a closed ring safely
+    start = int(np.argmax(np.linalg.norm(closed - closed.mean(axis=0), axis=1)))
+    rolled = np.vstack([np.roll(ring, -start, axis=0), ring[start:start + 1]])
+    mid = len(rolled) // 2
+    first = dp(rolled[:mid + 1])
+    second = dp(rolled[mid:])
+    out = dedupe_ring(np.vstack([first[:-1], second[:-1]]))
+    if len(out) < 3:
+        return ring
+    return out
+
+
+# ---------------------------------------------------------------------------
+# small constructions used by the slicer
+# ---------------------------------------------------------------------------
+
+def substring_point(a: np.ndarray, b: np.ndarray, dist: float) -> np.ndarray:
+    """Point at `dist` along segment a→b (GEOS ``substring`` end point)."""
+    d = b - a
+    nd = np.linalg.norm(d)
+    if nd < EPS:
+        return a.copy()
+    return a + d * min(dist / nd, 1.0)
+
+
+def nearest_point_on_segment(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Foot of p on segment a-b (GEOS ``nearest_points`` on a 2-pt line)."""
+    ab = b - a
+    denom = float(np.dot(ab, ab))
+    t = 0.0 if denom < EPS else float(np.dot(p - a, ab)) / denom
+    t = min(max(t, 0.0), 1.0)
+    return a + t * ab
