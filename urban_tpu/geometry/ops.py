@@ -83,6 +83,36 @@ def segments_intersect(a1, a2, b1, b2, tol: float = EPS) -> bool:
     return False
 
 
+def segment_distance_matrix(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Pairwise distances between two segment sets.
+
+    A: (m, 2, 2), B: (n, 2, 2) segments; returns (m, n) distances with 0 for
+    properly crossing pairs. Vectorized workhorse for contiguity-graph
+    construction (libpysal fuzzy_contiguity replacement)."""
+    a1 = A[:, None, 0]  # (m,1,2)
+    a2 = A[:, None, 1]
+    b1 = B[None, :, 0]  # (1,n,2)
+    b2 = B[None, :, 1]
+
+    def cross(o, p, q):
+        return ((p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1])
+                - (p[..., 1] - o[..., 1]) * (q[..., 0] - o[..., 0]))
+
+    d1 = cross(b1, b2, a1)
+    d2 = cross(b1, b2, a2)
+    d3 = cross(a1, a2, b1)
+    d4 = cross(a1, a2, b2)
+    proper = (((d1 > EPS) & (d2 < -EPS)) | ((d1 < -EPS) & (d2 > EPS))) & \
+             (((d3 > EPS) & (d4 < -EPS)) | ((d3 < -EPS) & (d4 > EPS)))
+
+    d = np.minimum(
+        np.minimum(point_segment_distance(a1, b1, b2),
+                   point_segment_distance(a2, b1, b2)),
+        np.minimum(point_segment_distance(b1, a1, a2),
+                   point_segment_distance(b2, a1, a2)))
+    return np.where(proper, 0.0, d)
+
+
 def point_in_ring(p, ring: np.ndarray, tol: float = EPS) -> int:
     """Classify point vs polygon ring: +1 inside, 0 on boundary, -1 outside."""
     p = np.asarray(p, dtype=np.float64).reshape(2)
