@@ -1,0 +1,90 @@
+"""Clipped-PPO update, jitted end to end.
+
+Reference semantics (khrylib/rl/agents/agent_ppo.py:6-60 and
+urban_planning/agents/urban_planning_agent.py:281-371): clipped surrogate on
+exploration steps only (``exps`` selects sampled actions; greedy steps still
+contribute to the value loss), value MSE, entropy bonus, global-norm gradient
+clipping, Adam.
+
+TPU-native design: the loss runs on masked fixed-size minibatches (the
+``exps`` filter becomes a weight, not boolean indexing), so one XLA program
+serves every minibatch; the data-parallel variant wraps the same step in
+shard_map with psum'd gradients (urban_tpu.parallel.mesh).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class PPOConfig(NamedTuple):
+    clip_epsilon: float = 0.2
+    value_pred_coef: float = 0.5
+    entropy_coef: float = 0.01
+    grad_clip: float = 1.0
+    lr: float = 4e-4
+    eps: float = 1e-5
+    weight_decay: float = 0.0
+
+
+def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
+    tx = [optax.clip_by_global_norm(cfg.grad_clip)]
+    if cfg.weight_decay > 0:
+        tx.append(optax.adamw(cfg.lr, eps=cfg.eps,
+                              weight_decay=cfg.weight_decay))
+    else:
+        tx.append(optax.adam(cfg.lr, eps=cfg.eps))
+    return optax.chain(*tx)
+
+
+def ppo_loss(model, params, obs, actions, returns, advantages,
+             fixed_log_probs, exps, cfg: PPOConfig):
+    """Masked PPO loss on a minibatch.
+
+    exps weights the surrogate/entropy terms (reference applies them only to
+    exploration rows, agent_ppo.py:48-55 / urban_planning_agent.py:363-371);
+    the value loss uses every row (agent_pg.py:19-23)."""
+    log_probs, entropy, values = model.apply(
+        params, obs, actions, method='log_prob_entropy_value')
+    value_loss = jnp.mean((values - returns) ** 2)
+
+    ratio = jnp.exp(log_probs - fixed_log_probs)
+    surr1 = ratio * advantages
+    surr2 = jnp.clip(ratio, 1.0 - cfg.clip_epsilon,
+                     1.0 + cfg.clip_epsilon) * advantages
+    w = exps.reshape(-1)
+    wsum = jnp.maximum(w.sum(), 1.0)
+    surr_loss = -(jnp.minimum(surr1, surr2).reshape(-1) * w).sum() / wsum
+    entropy_loss = -(entropy.reshape(-1) * w).sum() / wsum
+
+    loss = surr_loss + cfg.value_pred_coef * value_loss \
+        + cfg.entropy_coef * entropy_loss
+    stats = {'loss': loss, 'value_loss': value_loss, 'surr_loss': surr_loss,
+             'entropy_loss': entropy_loss}
+    return loss, stats
+
+
+@partial(jax.jit, static_argnames=('model', 'optimizer', 'cfg'))
+def ppo_update_step(model, optimizer, cfg: PPOConfig, params, opt_state,
+                    obs, actions, returns, advantages, fixed_log_probs, exps):
+    """One minibatch gradient step."""
+    grad_fn = jax.value_and_grad(
+        lambda p: ppo_loss(model, p, obs, actions, returns, advantages,
+                           fixed_log_probs, exps, cfg), has_aux=True)
+    (_, stats), grads = grad_fn(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, stats
+
+
+@partial(jax.jit, static_argnames=('model',))
+def fixed_log_probs_and_values(model, params, obs, actions):
+    """Pre-update log-probs (frozen policy) and values in one trunk pass
+    (reference does two chunked passes, urban_planning_agent.py:256-292)."""
+    log_probs, _, values = model.apply(params, obs, actions,
+                                       method='log_prob_entropy_value')
+    return log_probs, values
