@@ -1,0 +1,82 @@
+"""Genetic-algorithm training CLI (reference: urban_planning/train_ga.py:17-102).
+
+Usage:
+  python -m urban_tpu.train_ga --cfg hlg --global_seed 111
+"""
+from __future__ import annotations
+
+from pprint import pprint
+
+import numpy as np
+from absl import app, flags
+
+from urban_tpu.agents.urban_agent import UrbanPlanningAgent
+from urban_tpu.rl.ga import GA, GAConfig
+from urban_tpu.utils.config import Config
+
+flags.DEFINE_string('root_dir', '/tmp/urban_tpu_runs', 'Root directory.')
+flags.DEFINE_string('cfg', None, 'Configuration file.')
+flags.DEFINE_bool('tmp', False, 'Whether to use temporary storage.')
+flags.DEFINE_bool('mean_action', True, 'Whether to use greedy strategy.')
+flags.DEFINE_bool('visualize', False, 'Visualize the planning process.')
+flags.DEFINE_bool('only_road', False, 'Only road planning.')
+flags.DEFINE_integer('global_seed', None, 'Seed.')
+flags.DEFINE_integer('sol_per_pop', 20, 'Solutions per population.')
+flags.DEFINE_integer('num_generations', 100, 'Number of generations.')
+flags.DEFINE_integer('num_parents_mating', 2, 'Parents for mating.')
+flags.DEFINE_integer('init_range_low', -5, 'Gene init low.')
+flags.DEFINE_integer('init_range_high', 5, 'Gene init high.')
+flags.DEFINE_integer('mutation_percent_genes', 10, 'Mutation percentage.')
+
+FLAGS = flags.FLAGS
+
+
+def main_loop(_):
+    cfg = Config(FLAGS.cfg, FLAGS.global_seed, FLAGS.tmp, FLAGS.root_dir, 'ga')
+    np.random.seed(cfg.seed)
+    agent = UrbanPlanningAgent(cfg=cfg, num_threads=1, training=False,
+                               checkpoint=0, restore_best_rewards=True)
+    if FLAGS.only_road:
+        agent.freeze_land_use()
+
+    def fitness_func(solution):
+        fitness, _ = agent.fitness_ga(solution, num_samples=1,
+                                      mean_action=False,
+                                      visualize=FLAGS.visualize)
+        return fitness
+
+    def report_func(instance):
+        print(f'Generation: {instance.generations_completed}')
+        print(f'Best Fitness: {instance.best_solutions_fitness[-1]: .4f}')
+        avg = (sum(instance.last_generation_fitness)
+               / len(instance.last_generation_fitness))
+        print(f'Last Generation Average Fitness: {avg: .4f}')
+        print()
+
+    ga = GA(GAConfig(num_generations=FLAGS.num_generations,
+                     num_parents_mating=FLAGS.num_parents_mating,
+                     sol_per_pop=FLAGS.sol_per_pop,
+                     num_genes=2 * agent.node_dim + 1,
+                     init_range_low=FLAGS.init_range_low,
+                     init_range_high=FLAGS.init_range_high,
+                     keep_parents=1,
+                     mutation_percent_genes=FLAGS.mutation_percent_genes,
+                     saturate_generations=10,
+                     seed=cfg.seed),
+            fitness_func, on_generation=report_func)
+    ga.run()
+
+    best_solution, best_fitness, _ = ga.best_solution()
+    print(f'Parameters of the best solution : {best_solution}')
+    print(f'Fitness value of the best solution = {best_fitness}')
+    agent.save_ga(best_solution, best_fitness)
+
+    _, plan = agent.fitness_ga(best_solution, num_samples=1,
+                               visualize=FLAGS.visualize)
+    pprint({k: v for k, v in plan.items() if not k.endswith('gdf')},
+           indent=4, sort_dicts=False)
+
+
+if __name__ == '__main__':
+    flags.mark_flags_as_required(['cfg', 'global_seed'])
+    app.run(main_loop)
