@@ -1,0 +1,149 @@
+"""Batched on-device rollouts: vmap(env) inside lax.scan.
+
+Replaces the reference's fork-based multiprocess sampling
+(khrylib/rl/agents/agent.py:75-100) with a single jitted program: thousands
+of environments step in lockstep on one chip, auto-resetting on episode end.
+Failed episodes are excluded from training via a backward success-propagation
+pass (matching urban_planning/agents/urban_planning_agent.py:75-86), and GAE
+runs as a scan over the time axis.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from urban_tpu.jaxenv.state import EnvSpec, PlanState
+from urban_tpu.jaxenv.step import (FAILURE_REWARD, build_obs, env_step)
+
+
+class Trajectory(NamedTuple):
+    obs: Tuple[jnp.ndarray, ...]   # each (T, B, ...)
+    actions: jnp.ndarray           # (T, B, 2)
+    log_probs: jnp.ndarray         # (T, B)
+    values: jnp.ndarray            # (T, B)
+    rewards: jnp.ndarray           # (T, B)
+    dones: jnp.ndarray             # (T, B)
+    failures: jnp.ndarray          # (T, B)
+    exps: jnp.ndarray              # (T, B) exploration indicator
+
+
+def packed_action_to_slots(spec: EnvSpec, state: PlanState,
+                           action: jnp.ndarray) -> jnp.ndarray:
+    """Translate packed obs indices (policy action space) to slot indices.
+
+    build_obs packs alive features/edges to the front; the policy picks
+    packed indices, the state tables are slot-indexed."""
+    from urban_tpu.jaxenv.step import feature_alive
+    alive = feature_alive(spec, state)
+    e_ok = state.edge_alive & alive[state.edge[:, 0]] & alive[state.edge[:, 1]]
+    e_rank = jnp.cumsum(e_ok)
+    edge_slot = jnp.searchsorted(e_rank, action[0] + 1).astype(jnp.int32)
+    n_rank = jnp.cumsum(alive)
+    node_slot = jnp.searchsorted(n_rank, action[1] + 1).astype(jnp.int32)
+    return jnp.stack([jnp.clip(edge_slot, 0, spec.NE - 1),
+                      jnp.clip(node_slot, 0, spec.num_features - 1)])
+
+
+def make_batch_fns(spec: EnvSpec):
+    """Vmapped observation and step closures."""
+
+    def _step(state, action):
+        slots = packed_action_to_slots(spec, state, action)
+        return env_step(spec, state, slots)
+
+    batch_obs = jax.vmap(lambda s: build_obs(spec, s))
+    batch_step = jax.vmap(_step)
+    return batch_obs, batch_step
+
+
+def broadcast_state(state: PlanState, batch: int) -> PlanState:
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state)
+
+
+@partial(jax.jit, static_argnames=('spec', 'model', 'num_steps',
+                                   'mean_action'))
+def rollout(spec: EnvSpec, model, params, init_state: PlanState,
+            start_state: PlanState, rng: jnp.ndarray, num_steps: int,
+            noise_rate: float = 1.0, mean_action: bool = False):
+    """Collect (T, B) trajectories with auto-reset.
+
+    init_state: single-env reset target; start_state: batched current states.
+    Returns (final_states, Trajectory)."""
+    batch_obs, batch_step = make_batch_fns(spec)
+    B = start_state.stage.shape[0]
+    init_b = broadcast_state(init_state, B)
+
+    def scan_body(carry, step_rng):
+        state = carry
+        # auto-reset finished envs
+        state = jax.tree.map(
+            lambda i, s: jnp.where(
+                state.done.reshape((-1,) + (1,) * (s.ndim - 1)), i, s),
+            init_b, state)
+        obs = batch_obs(state)
+        rng_a, rng_e = jax.random.split(step_rng)
+        explore = jax.random.uniform(rng_e, (B,)) < noise_rate
+        use_mean = jnp.logical_or(mean_action, ~explore)
+        action = model.apply(params, obs, rng_a, use_mean,
+                             method='select_action_mixed')
+        log_prob, _, value = model.apply(params, obs, action,
+                                         method='log_prob_entropy_value')
+        next_state, reward, done, info = batch_step(state, action)
+        out = (obs, action, log_prob[..., 0], value[..., 0], reward, done,
+               info['failure'], (~use_mean).astype(jnp.float32))
+        return next_state, out
+
+    rngs = jax.random.split(rng, num_steps)
+    final_state, outs = jax.lax.scan(scan_body, start_state, rngs)
+    (obs, actions, log_probs, values, rewards, dones, failures, exps) = outs
+    traj = Trajectory(obs=obs, actions=actions, log_probs=log_probs,
+                      values=values, rewards=rewards, dones=dones,
+                      failures=failures, exps=exps)
+    return final_state, traj
+
+
+@jax.jit
+def episode_success_weights(dones: jnp.ndarray, failures: jnp.ndarray,
+                            rewards: jnp.ndarray) -> jnp.ndarray:
+    """(T, B) weight: 1 for steps of successful episodes, else 0.
+
+    Mirrors the reference filter: episodes terminating with FAILURE or
+    INTERMEDIATE reward are excluded (urban_planning_agent.py:75-86);
+    truncated (never-terminated) trailing segments are also excluded."""
+    success_at_end = dones & ~failures & (rewards > 0.0)
+
+    def back(carry, x):
+        done_t, succ_t = x
+        flag = jnp.where(done_t, succ_t.astype(jnp.float32), carry)
+        return flag, flag
+
+    init = jnp.zeros(dones.shape[1])
+    _, flags = jax.lax.scan(back, init, (dones[::-1], success_at_end[::-1]))
+    return flags[::-1]
+
+
+@partial(jax.jit, static_argnames=('gamma', 'tau'))
+def batched_gae(rewards: jnp.ndarray, dones: jnp.ndarray,
+                values: jnp.ndarray, gamma: float, tau: float):
+    """GAE over the (T, B) rollout; episode boundaries cut by dones
+    (reference khrylib/rl/core/common.py:5-26 semantics with mask=1-done)."""
+    masks = 1.0 - dones.astype(jnp.float32)
+
+    def back(carry, x):
+        prev_value, prev_adv = carry
+        r, m, v = x
+        delta = r + gamma * prev_value * m - v
+        adv = delta + gamma * tau * prev_adv * m
+        return (v, adv), adv
+
+    B = rewards.shape[1]
+    (_, _), adv_rev = jax.lax.scan(
+        back, (jnp.zeros(B), jnp.zeros(B)),
+        (rewards[::-1], masks[::-1], values[::-1]))
+    advantages = adv_rev[::-1]
+    returns = values + advantages
+    return advantages, returns

@@ -1,0 +1,277 @@
+"""Fixed-buffer plan state for the batched TPU environment.
+
+The reference mutates a growing GeoDataFrame per step (reference:
+urban_planning/envs/plan_client.py:623-652); here the plan lives in
+preallocated slot tables with alive masks so `env.step` is a pure function of
+arrays and the whole rollout compiles to ``vmap(lax.scan)``:
+
+  * polygons:   (NP, KV, 2) vertex rings + count/type/alive + shape metrics
+  * segments:   (NS, 2, 2) road/boundary segments + type/alive
+  * points:     (NPT, 2) road intersections + alive
+  * contiguity: (NE, 2) global-feature-index pairs + alive
+    (global index: poly i -> i, seg j -> NP+j, point k -> NP+NS+k)
+
+Initial states are built host-side from a scenario bundle, reusing the exact
+host engine for the initial contiguity graph.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from urban_tpu import city_config
+from urban_tpu.envs.plan_client import PlanClient
+from urban_tpu.geometry.base import LINE, POINT, POLY
+
+
+@struct.dataclass
+class PlanState:
+    # polygons
+    poly_ring: jnp.ndarray      # (NP, KV, 2) f32
+    poly_nvert: jnp.ndarray     # (NP,) i32
+    poly_type: jnp.ndarray      # (NP,) i32
+    poly_alive: jnp.ndarray     # (NP,) bool
+    poly_rect: jnp.ndarray      # (NP,) f32
+    poly_eqi: jnp.ndarray       # (NP,) f32
+    poly_sc: jnp.ndarray        # (NP,) f32
+    # segments
+    seg: jnp.ndarray            # (NS, 2, 2) f32
+    seg_type: jnp.ndarray       # (NS,) i32
+    seg_alive: jnp.ndarray      # (NS,) bool
+    # points
+    pt: jnp.ndarray             # (NPT, 2) f32
+    pt_alive: jnp.ndarray       # (NPT,) bool
+    # contiguity edges
+    edge: jnp.ndarray           # (NE, 2) i32 global feature indices
+    edge_alive: jnp.ndarray     # (NE,) bool
+    # running stats (areas in m^2)
+    plan_area: jnp.ndarray      # (NUM_TYPES,) f32
+    plan_count: jnp.ndarray     # (NUM_TYPES,) i32
+    # stage machine
+    stage: jnp.ndarray          # () i32: 0 land_use, 1 road, 2 done
+    land_use_steps: jnp.ndarray  # () i32
+    road_steps: jnp.ndarray     # () i32
+    total_road_steps: jnp.ndarray  # () i32
+    done: jnp.ndarray           # () bool
+    failure: jnp.ndarray        # () bool
+    land_use_reward: jnp.ndarray  # () f32 cached at stage boundary
+
+
+@dataclass(frozen=True)
+class EnvSpec:
+    """Static (compile-time) scenario + capacity configuration."""
+    # capacities
+    NP: int
+    KV: int
+    NS: int
+    NPT: int
+    NE: int
+    max_num_nodes: int
+    max_num_edges: int
+    # community
+    grid_cols: float
+    grid_rows: float
+    cell_edge_length: float
+    community_area: float
+    # objectives (tuples so the spec is hashable for jit closure)
+    plan_order: Tuple[int, ...]
+    required_plan_ratio: Tuple[float, ...]
+    required_plan_count: Tuple[int, ...]
+    required_max_area: Tuple[float, ...]
+    required_min_area: Tuple[float, ...]
+    required_max_edge_length: Tuple[float, ...]
+    required_min_edge_length: Tuple[float, ...]
+    common_max_area: float
+    common_min_area: float
+    common_max_edge_length: float
+    common_min_edge_length: float
+    rule_constraints: bool
+    # stage config
+    skip_land_use: bool
+    skip_road: bool
+    road_ratio: float
+    # reward weights
+    road_network_weight: float
+    life_circle_weight: float
+    greenness_weight: float
+    concept_weight: float
+    weight_by_area: bool
+    # concepts: ((kind, cx, cy, ex, ey, distance, land_use_bitmask), ...)
+    concepts: Tuple[Tuple[float, ...], ...] = ()
+
+    @property
+    def num_features(self) -> int:
+        return self.NP + self.NS + self.NPT
+
+
+def _default_caps(n_poly: int, n_seg: int, n_pt: int,
+                  max_steps: int) -> Dict[str, int]:
+    """Slot capacities: initial features plus worst-case growth.
+
+    Each land-use step adds <= 1 parcel + 4 remaining pieces, <= 6 new
+    intersections, and <= 2 splits + ring-edge boundaries."""
+    def rup(x, m=64):
+        return int(np.ceil(x / m) * m)
+    return dict(
+        NP=rup(n_poly + 5 * max_steps),
+        NS=rup(n_seg + 10 * max_steps),
+        NPT=rup(n_pt + 6 * max_steps),
+    )
+
+
+def build_env_spec(cfg, plc: PlanClient, max_steps: int = 60,
+                   caps: Dict[str, int] | None = None) -> EnvSpec:
+    """Derive the static spec from a Config + host PlanClient."""
+    table = plc._init_table
+    kinds = np.array([g.kind for g in table.geoms])
+    n_poly = int((kinds == POLY).sum())
+    n_seg = int((kinds == LINE).sum())
+    n_pt = int((kinds == POINT).sum())
+    c = _default_caps(n_poly, n_seg, n_pt, max_steps)
+    if caps:
+        c.update(caps)
+    kv = caps.get('KV', 24) if caps else 24
+    ne = caps.get('NE', cfg.state_encoder_specs['max_num_edges']) if caps \
+        else cfg.state_encoder_specs['max_num_edges']
+
+    concepts = []
+    for concept in plc._concept:
+        g = concept['geometry'].coords
+        cx, cy = g[0]
+        ex, ey = g[-1]
+        kind = 0.0 if concept['type'] == 'center' else 1.0
+        bitmask = 0
+        for t in concept['land_use']:
+            bitmask |= 1 << int(t)
+        concepts.append((kind, float(cx), float(cy), float(ex), float(ey),
+                         float(concept['distance']), float(bitmask)))
+
+    return EnvSpec(
+        NP=c['NP'], KV=kv, NS=c['NS'], NPT=c['NPT'], NE=ne,
+        max_num_nodes=cfg.state_encoder_specs['max_num_nodes'],
+        max_num_edges=cfg.state_encoder_specs['max_num_edges'],
+        grid_cols=float(plc._grid_cols), grid_rows=float(plc._grid_rows),
+        cell_edge_length=float(plc._cell_edge_length),
+        community_area=float(plc._community_area),
+        plan_order=tuple(int(x) for x in plc._plan_order),
+        required_plan_ratio=tuple(float(x) for x in plc._required_plan_ratio),
+        required_plan_count=tuple(int(x) for x in plc._required_plan_count),
+        required_max_area=tuple(float(x) for x in plc._required_max_area),
+        required_min_area=tuple(float(x) for x in plc._required_min_area),
+        required_max_edge_length=tuple(
+            float(x) for x in plc._required_max_edge_length),
+        required_min_edge_length=tuple(
+            float(x) for x in plc._required_min_edge_length),
+        common_max_area=float(plc._common_max_area),
+        common_min_area=float(plc._common_min_area),
+        common_max_edge_length=float(plc._common_max_edge_length),
+        common_min_edge_length=float(plc._common_min_edge_length),
+        rule_constraints=bool(plc._rule_constraints),
+        skip_land_use=bool(cfg.skip_land_use),
+        skip_road=bool(cfg.skip_road),
+        road_ratio=float(cfg.road_ratio),
+        road_network_weight=float(cfg.reward_specs.get('road_network_weight', 1.0)),
+        life_circle_weight=float(cfg.reward_specs.get('life_circle_weight', 1.0)),
+        greenness_weight=float(cfg.reward_specs.get('greenness_weight', 1.0)),
+        concept_weight=float(cfg.reward_specs.get('concept_weight', 0.0)),
+        weight_by_area=bool(cfg.reward_specs.get('weight_by_area', False)),
+        concepts=tuple(concepts),
+    )
+
+
+def build_initial_state(spec: EnvSpec, plc: PlanClient) -> PlanState:
+    """Pack the scenario's initial plan into slot buffers (host side)."""
+    table = plc._init_table
+    NP, KV, NS, NPT, NE = spec.NP, spec.KV, spec.NS, spec.NPT, spec.NE
+
+    poly_ring = np.zeros((NP, KV, 2), dtype=np.float32)
+    poly_nvert = np.zeros(NP, dtype=np.int32)
+    poly_type = np.zeros(NP, dtype=np.int32)
+    poly_alive = np.zeros(NP, dtype=bool)
+    poly_rect = np.full(NP, 0.5, dtype=np.float32)
+    poly_eqi = np.full(NP, 0.5, dtype=np.float32)
+    poly_sc = np.full(NP, 0.5, dtype=np.float32)
+    seg = np.zeros((NS, 2, 2), dtype=np.float32)
+    seg_type = np.zeros(NS, dtype=np.int32)
+    seg_alive = np.zeros(NS, dtype=bool)
+    pt = np.zeros((NPT, 2), dtype=np.float32)
+    pt_alive = np.zeros(NPT, dtype=bool)
+
+    row_to_slot = {}
+    ip = is_ = ipt = 0
+    for row in range(len(table)):
+        if not table.existence[row]:
+            continue
+        g = table.geoms[row]
+        if g.kind == POLY:
+            ring = g.canonicalize().coords
+            if len(ring) > KV:
+                raise ValueError(f'Polygon with {len(ring)} verts exceeds '
+                                 f'KV={KV}.')
+            poly_ring[ip, :len(ring)] = ring
+            poly_nvert[ip] = len(ring)
+            poly_type[ip] = table.types[row]
+            poly_alive[ip] = True
+            if not np.isnan(table.rect[row]):
+                poly_rect[ip] = table.rect[row]
+                poly_eqi[ip] = table.eqi[row]
+                poly_sc[ip] = table.sc[row]
+            row_to_slot[row] = ip
+            ip += 1
+        elif g.kind == LINE:
+            # multi-coord lines become one slot per sub-segment
+            for i in range(len(g.coords) - 1):
+                seg[is_] = g.coords[i:i + 2]
+                seg_type[is_] = table.types[row]
+                seg_alive[is_] = True
+                if i == 0:
+                    row_to_slot[row] = NP + is_
+                is_ += 1
+        else:
+            pt[ipt] = g.coords[0]
+            pt_alive[ipt] = True
+            row_to_slot[row] = NP + NS + ipt
+            ipt += 1
+    if ip > NP or is_ > NS or ipt > NPT:
+        raise ValueError('Initial plan exceeds slot capacities.')
+
+    # initial contiguity from the host engine (exact oracle)
+    plc.unplan_all_land_use()
+    rows, edges = plc._get_current_gdf_and_graph()
+    edge_arr = np.full((NE, 2), spec.num_features - 1, dtype=np.int32)
+    edge_alive = np.zeros(NE, dtype=bool)
+    k = 0
+    for (i, j) in edges:
+        ri, rj = int(rows[i]), int(rows[j])
+        if ri in row_to_slot and rj in row_to_slot:
+            if k >= NE:
+                raise ValueError('Initial contiguity exceeds NE.')
+            edge_arr[k] = (row_to_slot[ri], row_to_slot[rj])
+            edge_alive[k] = True
+            k += 1
+
+    plan_area = np.array(plc._plan_area, dtype=np.float32)
+    plan_count = np.array(plc._plan_count, dtype=np.int32)
+
+    return PlanState(
+        poly_ring=jnp.asarray(poly_ring), poly_nvert=jnp.asarray(poly_nvert),
+        poly_type=jnp.asarray(poly_type), poly_alive=jnp.asarray(poly_alive),
+        poly_rect=jnp.asarray(poly_rect), poly_eqi=jnp.asarray(poly_eqi),
+        poly_sc=jnp.asarray(poly_sc),
+        seg=jnp.asarray(seg), seg_type=jnp.asarray(seg_type),
+        seg_alive=jnp.asarray(seg_alive),
+        pt=jnp.asarray(pt), pt_alive=jnp.asarray(pt_alive),
+        edge=jnp.asarray(edge_arr), edge_alive=jnp.asarray(edge_alive),
+        plan_area=jnp.asarray(plan_area), plan_count=jnp.asarray(plan_count),
+        stage=jnp.asarray(1 if spec.skip_land_use else 0, dtype=jnp.int32),
+        land_use_steps=jnp.asarray(0, dtype=jnp.int32),
+        road_steps=jnp.asarray(0, dtype=jnp.int32),
+        total_road_steps=jnp.asarray(0, dtype=jnp.int32),
+        done=jnp.asarray(False),
+        failure=jnp.asarray(False),
+        land_use_reward=jnp.asarray(-1.0, dtype=jnp.float32),
+    )
