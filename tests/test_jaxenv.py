@@ -1,0 +1,120 @@
+"""Tests for the batched TPU environment (CPU backend, small sizes)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from urban_tpu import city_config
+from urban_tpu.utils.config import Config
+from urban_tpu.envs.plan_client import PlanClient
+from urban_tpu.jaxenv.state import build_env_spec, build_initial_state
+from urban_tpu.jaxenv import step as js
+from urban_tpu.jaxenv.rollout import (batched_gae, episode_success_weights,
+                                      packed_action_to_slots)
+
+
+@pytest.fixture(scope='module')
+def hlg_setup():
+    cfg = Config('hlg', 0, tmp=True)
+    plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
+    spec = build_env_spec(cfg, plc, max_steps=cfg.max_sequence_length)
+    state = build_initial_state(spec, plc)
+    return cfg, plc, spec, state
+
+
+def test_free_slots():
+    alive = jnp.asarray([True, False, True, False, False])
+    slots, ovf = js.free_slots(alive, 2)
+    assert slots.tolist() == [1, 3]
+    assert not bool(ovf)
+    slots, ovf = js.free_slots(alive, 4)
+    assert bool(ovf)
+
+
+def test_initial_obs_matches_host(hlg_setup):
+    cfg, plc, spec, state = hlg_setup
+    obs = js.build_obs(spec, state)
+    # host env initial observation
+    from urban_tpu.envs.city import CityEnv
+    env = CityEnv(cfg)
+    host_obs = env.reset()
+    assert int(obs[4].sum()) == int(host_obs[4].sum())       # node count
+    assert int(obs[5].sum()) == int(host_obs[5].sum())       # edge count
+    assert int(obs[6].sum()) == int(host_obs[6].sum())       # action count
+    assert np.asarray(obs[0]) == pytest.approx(host_obs[0], abs=1e-5)
+    # node type histogram matches (ordering may differ)
+    t_jax = np.asarray(obs[1][:, :14]).argmax(axis=1)[np.asarray(obs[4])]
+    t_host = host_obs[1][:, :14].argmax(axis=1)[host_obs[4]]
+    assert np.bincount(t_jax, minlength=14).tolist() == \
+        np.bincount(t_host, minlength=14).tolist()
+
+
+def test_pending_type_progression(hlg_setup):
+    cfg, plc, spec, state = hlg_setup
+    t = int(js.pending_land_use_type(spec, state))
+    assert t == city_config.HOSPITAL_L  # first in plan order for HLG
+    # fake-fill hospital_l requirements -> next is school
+    state2 = state.replace(
+        plan_count=state.plan_count.at[city_config.HOSPITAL_L].set(2))
+    assert int(js.pending_land_use_type(spec, state2)) == city_config.SCHOOL
+
+
+def test_full_episode_jax_env(hlg_setup):
+    cfg, plc, spec, state = hlg_setup
+    obs_fn = jax.jit(lambda s: js.build_obs(spec, s))
+    step_fn = jax.jit(
+        lambda s, a: js.env_step(spec, s, packed_action_to_slots(spec, s, a)))
+    rng = np.random.default_rng(0)
+    done = False
+    for i in range(60):
+        obs = obs_fn(state)
+        stage = int(np.asarray(obs[8]).argmax())
+        mask = np.asarray(obs[6] if stage == 0 else obs[7])
+        valid = np.nonzero(mask)[0]
+        assert len(valid) > 0
+        a = int(rng.choice(valid))
+        action = jnp.asarray([a if stage == 0 else 0,
+                              a if stage == 1 else 0], dtype=jnp.int32)
+        state, reward, done, info = step_fn(state, action)
+        if bool(done):
+            break
+    assert bool(done)
+    assert not bool(info['failure'])
+    # HLG skip_road: terminal reward = land-use reward, in the same range the
+    # exact host engine produces for random play (2.5-3.5)
+    assert 2.0 < float(reward) < 4.5
+    # all counts met
+    counts = np.asarray(state.plan_count)
+    req = np.asarray(spec.required_plan_count)
+    order = list(spec.plan_order)
+    assert all(counts[t] >= req[t] for t in order)
+
+
+def test_episode_success_weights():
+    dones = jnp.asarray([[0, 0], [1, 0], [0, 0], [1, 1]], dtype=bool)
+    fails = jnp.asarray([[0, 0], [0, 0], [0, 0], [1, 0]], dtype=bool)
+    rewards = jnp.asarray([[0.0, 0.0], [2.5, 0.0], [0.0, 0.0], [-1.0, 3.0]])
+    w = np.asarray(episode_success_weights(dones, fails, rewards))
+    # env 0: first episode (steps 0-1) success; second (2-3) failure
+    assert w[:, 0].tolist() == [1.0, 1.0, 0.0, 0.0]
+    # env 1: single episode ending at step 3 with positive reward
+    assert w[:, 1].tolist() == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_batched_gae_matches_reference_formula():
+    from urban_tpu.rl.gae import estimate_advantages_np
+    T, B = 6, 2
+    rng = np.random.default_rng(0)
+    rewards = rng.normal(size=(T, B)).astype(np.float32)
+    dones = np.zeros((T, B), bool)
+    dones[2, 0] = True
+    dones[5, :] = True
+    values = rng.normal(size=(T, B)).astype(np.float32)
+    adv, ret = batched_gae(jnp.asarray(rewards), jnp.asarray(dones),
+                           jnp.asarray(values), 0.99, 0.95)
+    for b in range(B):
+        a_np, r_np = estimate_advantages_np(
+            rewards[:, b], 1.0 - dones[:, b].astype(np.float32),
+            values[:, b], 0.99, 0.95)
+        assert np.asarray(adv)[:, b] == pytest.approx(a_np, abs=1e-4)
+        assert np.asarray(ret)[:, b] == pytest.approx(r_np, abs=1e-4)

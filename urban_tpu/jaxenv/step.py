@@ -683,9 +683,23 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
     cand_segs, cand_masks = jax.vmap(
         lambda f: feature_segments_padded(spec, state, f))(cand_idx)
 
-    dist = jax.vmap(lambda sa, ma: jax.vmap(
-        lambda sb, mb: _segset_distance(sa, ma, sb, mb))(
-        cand_segs, cand_masks))(new_segs, new_masks)      # (n_new, K)
+    # chunk the new-feature axis with lax.map so the (chunk, K, KV, KV)
+    # distance temporaries stay small under a large env vmap batch
+    CH = 8
+    pad = (-n_new) % CH
+    ns = jnp.pad(new_segs, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    nm = jnp.pad(new_masks, ((0, pad), (0, 0)))
+    ns = ns.reshape(-1, CH, spec.KV, 2, 2)
+    nm = nm.reshape(-1, CH, spec.KV)
+
+    def _chunk_dist(chunk):
+        cs, cm = chunk
+        return jax.vmap(lambda sa, ma: jax.vmap(
+            lambda sb, mb: _segset_distance(sa, ma, sb, mb))(
+            cand_segs, cand_masks))(cs, cm)
+
+    dist = jax.lax.map(_chunk_dist, (ns, nm))
+    dist = dist.reshape(-1, N_CANDIDATES)[:n_new]          # (n_new, K)
 
     touch = dist <= MERGE_TOL
     touch = touch & cand_valid[None, :] & (new_ids[:, None] >= 0)
@@ -786,9 +800,17 @@ def life_circle_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     return jnp.where(any_res & (n_service > 0), reward, 0.0)
 
 
+MAX_RES_POLYS = 96
+MAX_GREEN_POLYS = 24
+
+
 def greenness_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     """Sample-point approximation of green 300 m buffer coverage over
-    residential area (plan_client.py:954-967)."""
+    residential area (plan_client.py:954-967).
+
+    To bound memory, the top MAX_RES_POLYS residential and MAX_GREEN_POLYS
+    qualifying green polygons are gathered before the distance computation
+    (realistic plans stay well under both caps)."""
     cell = spec.cell_edge_length
     cell_area = cell * cell
     areas = jax.vmap(jg.ring_area)(state.poly_ring, state.poly_nvert)
@@ -799,29 +821,35 @@ def greenness_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     is_res = alive & (types == city_config.RESIDENTIAL)
     radius = 300.0 / cell
 
-    cents = jax.vmap(jg.ring_centroid)(state.poly_ring, state.poly_nvert)
-    # sample points per residential poly: vertices + centroid
-    samples = jnp.concatenate([state.poly_ring, cents[:, None, :]], axis=1)
-    smask = jnp.concatenate([
-        jax.vmap(jg.ring_mask, in_axes=(0, None))(state.poly_nvert, spec.KV),
-        jnp.ones((spec.NP, 1), bool)], axis=1)
+    _, res_idx = jax.lax.top_k(is_res.astype(jnp.int32), MAX_RES_POLYS)
+    res_valid = is_res[res_idx]
+    _, green_idx = jax.lax.top_k(is_green.astype(jnp.int32), MAX_GREEN_POLYS)
+    green_valid = is_green[green_idx]
 
-    # distance of every sample to every green polygon boundary
-    gsegs, gmask = jax.vmap(jg.ring_segments)(state.poly_ring,
-                                              state.poly_nvert)
-    gmask = gmask & is_green[:, None]
+    res_ring = state.poly_ring[res_idx]
+    res_nv = state.poly_nvert[res_idx]
+    cents = jax.vmap(jg.ring_centroid)(res_ring, res_nv)
+    # sample points per residential poly: vertices + centroid
+    samples = jnp.concatenate([res_ring, cents[:, None, :]], axis=1)
+    smask = jnp.concatenate([
+        jax.vmap(jg.ring_mask, in_axes=(0, None))(res_nv, spec.KV),
+        jnp.ones((MAX_RES_POLYS, 1), bool)], axis=1) & res_valid[:, None]
+
+    gsegs, gmask = jax.vmap(jg.ring_segments)(state.poly_ring[green_idx],
+                                              state.poly_nvert[green_idx])
+    gmask = gmask & green_valid[:, None]
     d = jg.point_segment_distance(
         samples.reshape(-1, 2)[:, None, :],
         gsegs.reshape(-1, 2, 2)[None, :, 0, :],
         gsegs.reshape(-1, 2, 2)[None, :, 1, :])
     d = jnp.where(gmask.reshape(-1)[None, :], d, jg.BIG)
-    covered = (d.min(axis=1) <= radius).reshape(spec.NP, spec.KV + 1)
+    covered = (d.min(axis=1) <= radius).reshape(MAX_RES_POLYS, spec.KV + 1)
     # being inside a green polygon also counts, but a residential sample
     # point cannot be inside a green polygon (disjoint interiors), so the
     # boundary-distance test is sufficient.
     frac = jnp.sum(covered & smask, axis=1) / \
         jnp.maximum(jnp.sum(smask, axis=1), 1)
-    w = jnp.where(is_res, areas, 0.0)
+    w = jnp.where(res_valid, areas[res_idx], 0.0)
     total_res = jnp.sum(w)
     reward = jnp.sum(frac * w) / jnp.maximum(total_res, 1e-9)
     return jnp.where(jnp.any(is_res) & jnp.any(is_green), reward, 0.0)
