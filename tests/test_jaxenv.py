@@ -33,7 +33,7 @@ def test_free_slots():
 
 def test_initial_obs_matches_host(hlg_setup):
     cfg, plc, spec, state = hlg_setup
-    obs = js.build_obs(spec, state)
+    obs = js.build_obs_packed(spec, state)
     # host env initial observation
     from urban_tpu.envs.city import CityEnv
     env = CityEnv(cfg)
@@ -62,8 +62,7 @@ def test_pending_type_progression(hlg_setup):
 def test_full_episode_jax_env(hlg_setup):
     cfg, plc, spec, state = hlg_setup
     obs_fn = jax.jit(lambda s: js.build_obs(spec, s))
-    step_fn = jax.jit(
-        lambda s, a: js.env_step(spec, s, packed_action_to_slots(spec, s, a)))
+    step_fn = jax.jit(lambda s, a: js.env_step(spec, s, a))
     rng = np.random.default_rng(0)
     done = False
     for i in range(60):

@@ -32,10 +32,11 @@ class Trajectory(NamedTuple):
 
 def packed_action_to_slots(spec: EnvSpec, state: PlanState,
                            action: jnp.ndarray) -> jnp.ndarray:
-    """Translate packed obs indices (policy action space) to slot indices.
+    """Translate packed-layout obs indices to slot indices.
 
-    build_obs packs alive features/edges to the front; the policy picks
-    packed indices, the state tables are slot-indexed."""
+    Only needed when driving the env from reference-layout observations
+    (build_obs_packed); the rollout path uses slot-layout observations whose
+    action indices ARE slot indices."""
     from urban_tpu.jaxenv.step import feature_alive
     alive = feature_alive(spec, state)
     e_ok = state.edge_alive & alive[state.edge[:, 0]] & alive[state.edge[:, 1]]
@@ -48,14 +49,9 @@ def packed_action_to_slots(spec: EnvSpec, state: PlanState,
 
 
 def make_batch_fns(spec: EnvSpec):
-    """Vmapped observation and step closures."""
-
-    def _step(state, action):
-        slots = packed_action_to_slots(spec, state, action)
-        return env_step(spec, state, slots)
-
+    """Vmapped observation and step closures (slot-layout actions)."""
     batch_obs = jax.vmap(lambda s: build_obs(spec, s))
-    batch_step = jax.vmap(_step)
+    batch_step = jax.vmap(lambda s, a: env_step(spec, s, a))
     return batch_obs, batch_step
 
 
@@ -88,10 +84,8 @@ def rollout(spec: EnvSpec, model, params, init_state: PlanState,
         rng_a, rng_e = jax.random.split(step_rng)
         explore = jax.random.uniform(rng_e, (B,)) < noise_rate
         use_mean = jnp.logical_or(mean_action, ~explore)
-        action = model.apply(params, obs, rng_a, use_mean,
-                             method='select_action_mixed')
-        log_prob, _, value = model.apply(params, obs, action,
-                                         method='log_prob_entropy_value')
+        action, log_prob, value = model.apply(
+            params, obs, rng_a, use_mean, method='sample_action_logp_value')
         next_state, reward, done, info = batch_step(state, action)
         out = (obs, action, log_prob[..., 0], value[..., 0], reward, done,
                info['failure'], (~use_mean).astype(jnp.float32))

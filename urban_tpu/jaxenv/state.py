@@ -48,6 +48,11 @@ class PlanState:
     # contiguity edges
     edge: jnp.ndarray           # (NE, 2) i32 global feature indices
     edge_alive: jnp.ndarray     # (NE,) bool
+    # feature-to-intersection incidence: I[f, p] = feature f touches point p.
+    # Every feature contact in the snapped plan passes through a registered
+    # intersection, so contiguity(A, B) == any(I[A] & I[B]) — an MXU matmul
+    # instead of irregular pairwise geometry.
+    incidence: jnp.ndarray      # (NF, NPT) bool
     # running stats (areas in m^2)
     plan_area: jnp.ndarray      # (NUM_TYPES,) f32
     plan_count: jnp.ndarray     # (NUM_TYPES,) i32
@@ -239,6 +244,35 @@ def build_initial_state(spec: EnvSpec, plc: PlanClient) -> PlanState:
     if ip > NP or is_ > NS or ipt > NPT:
         raise ValueError('Initial plan exceeds slot capacities.')
 
+    # feature-point incidence (exact host geometry)
+    from urban_tpu.geometry import ops as gops
+    from urban_tpu.geometry.base import Geometry, POINT as GPOINT
+    incidence = np.zeros((spec.num_features, NPT), dtype=bool)
+    pt_geoms = [(k, Geometry(GPOINT, pt[k][None, :]))
+                for k in range(NPT) if pt_alive[k]]
+    for row in range(len(table)):
+        if not table.existence[row]:
+            continue
+        g = table.geoms[row]
+        if g.kind == LINE:
+            # multi-coord lines occupy several seg slots; per-sub-segment
+            base = row_to_slot[row] - NP
+            for i in range(len(g.coords) - 1):
+                a, b = g.coords[i], g.coords[i + 1]
+                for k, pg in pt_geoms:
+                    p = pg.coords[0]
+                    if gops.point_segment_distance(p, a[None], b[None])[0] \
+                            <= 1e-6:
+                        incidence[NP + base + i, k] = True
+        else:
+            slot = row_to_slot[row]
+            for k, pg in pt_geoms:
+                if gops.geometries_intersect(g, pg, tol=1e-6):
+                    incidence[slot, k] = True
+    for k in range(NPT):
+        if pt_alive[k]:
+            incidence[NP + NS + k, k] = True
+
     # initial contiguity from the host engine (exact oracle)
     plc.unplan_all_land_use()
     rows, edges = plc._get_current_gdf_and_graph()
@@ -266,6 +300,7 @@ def build_initial_state(spec: EnvSpec, plc: PlanClient) -> PlanState:
         seg_alive=jnp.asarray(seg_alive),
         pt=jnp.asarray(pt), pt_alive=jnp.asarray(pt_alive),
         edge=jnp.asarray(edge_arr), edge_alive=jnp.asarray(edge_alive),
+        incidence=jnp.asarray(incidence),
         plan_area=jnp.asarray(plan_area), plan_count=jnp.asarray(plan_count),
         stage=jnp.asarray(1 if spec.skip_land_use else 0, dtype=jnp.int32),
         land_use_steps=jnp.asarray(0, dtype=jnp.int32),

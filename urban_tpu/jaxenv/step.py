@@ -95,27 +95,6 @@ def feature_types(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
         jnp.full((spec.NPT,), city_config.INTERSECTION, dtype=jnp.int32)])
 
 
-def all_feature_segments(spec: EnvSpec, state: PlanState):
-    """Every feature decomposed into segments for contiguity predicates.
-
-    Returns (segs (M,2,2), seg_feature (M,), seg_valid (M,)) with
-    M = NP*KV + NS + NPT."""
-    poly_segs = jax.vmap(lambda r, n: jg.ring_segments(r, n))(
-        state.poly_ring, state.poly_nvert)
-    ps, pm = poly_segs
-    ps = ps.reshape(-1, 2, 2)
-    pm = (pm & state.poly_alive[:, None]).reshape(-1)
-    p_owner = jnp.repeat(jnp.arange(spec.NP, dtype=jnp.int32), spec.KV)
-    pt_segs = jnp.stack([state.pt, state.pt], axis=1)
-    segs = jnp.concatenate([ps, state.seg, pt_segs], axis=0)
-    owner = jnp.concatenate([
-        p_owner,
-        jnp.arange(spec.NS, dtype=jnp.int32) + spec.NP,
-        jnp.arange(spec.NPT, dtype=jnp.int32) + spec.NP + spec.NS])
-    valid = jnp.concatenate([pm, state.seg_alive, state.pt_alive])
-    return segs, owner, valid
-
-
 # ---------------------------------------------------------------------------
 # masks (reference plan_client.py:265-359)
 # ---------------------------------------------------------------------------
@@ -324,17 +303,37 @@ def ring_shape_metrics(ring, nv):
 # slot allocation helpers
 # ---------------------------------------------------------------------------
 
-def free_slots(alive: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Indices of the first k free slots (padded with size if fewer).
+def rank_compact(flags: jnp.ndarray, values: jnp.ndarray,
+                 out_size: int) -> jnp.ndarray:
+    """out[j] = values[p] for the p with rank j among flagged positions.
 
-    Returns (slots (k,), overflow)."""
+    TPU-native compaction: a rank one-hot matmul on the MXU instead of
+    sort/scatter/searchsorted (all of which serialize badly on TPU).
+    values: (n,) or (n, d) numeric; positions beyond the flagged count give 0.
+    """
+    r = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    onehot = (flags[:, None]
+              & (r[:, None] == jnp.arange(out_size)[None, :]))
+    v = values.astype(jnp.float32)
+    squeeze = v.ndim == 1
+    if squeeze:
+        v = v[:, None]
+    out = jnp.einsum('no,nd->od', onehot.astype(jnp.float32), v,
+                     preferred_element_type=jnp.float32)
+    return out[:, 0] if squeeze else out
+
+
+def free_slots(alive: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Indices of the first k free slots (invalid beyond the free count).
+
+    Returns (slots (k,), overflow). Matmul-based (see rank_compact)."""
     free = ~alive
-    rank = jnp.cumsum(free)                    # 1-based rank per slot
-    n_free = rank[-1]
-    ks = jnp.arange(1, k + 1)
-    slots = jnp.searchsorted(rank, ks)
+    n_free = jnp.sum(free)
+    slots = rank_compact(free, jnp.arange(alive.shape[0], dtype=jnp.int32),
+                         k).astype(jnp.int32)
+    slots = jnp.where(jnp.arange(k) < n_free, slots, alive.shape[0])
     overflow = n_free < k
-    return slots.astype(jnp.int32), overflow
+    return slots, overflow
 
 
 # ---------------------------------------------------------------------------
@@ -577,9 +576,7 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
         jnp.where(killed_slots < spec.NS, killed_slots + spec.NP, -1
                   ).astype(jnp.int32),
     ])
-    block_bbox = jg.ring_bounds(ring, nv)
-    interim = update_contiguity(spec, interim, new_feature_ids, killed_feats,
-                                block_bbox)
+    interim = update_contiguity(spec, interim, new_feature_ids, killed_feats)
     fail = fail | interim.failure
 
     next_state = interim.replace(failure=jnp.asarray(False))
@@ -591,16 +588,6 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 N_CANDIDATES = 128
-
-
-def feature_bboxes(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
-    """(NF, 4) minx,miny,maxx,maxy per feature slot."""
-    pb = jax.vmap(jg.ring_bounds)(state.poly_ring, state.poly_nvert)
-    slo = jnp.minimum(state.seg[:, 0], state.seg[:, 1])
-    shi = jnp.maximum(state.seg[:, 0], state.seg[:, 1])
-    sb = jnp.concatenate([slo, shi], axis=-1)
-    tb = jnp.concatenate([state.pt, state.pt], axis=-1)
-    return jnp.concatenate([pb, sb, tb], axis=0)
 
 
 def feature_segments_padded(spec: EnvSpec, state: PlanState, f: jnp.ndarray):
@@ -626,110 +613,113 @@ def feature_segments_padded(spec: EnvSpec, state: PlanState, f: jnp.ndarray):
     return out, valid
 
 
-def _segset_distance(sa, ma, sb, mb):
-    """Min distance between two masked segment sets (KA,2,2) vs (KB,2,2).
-
-    Endpoint-to-segment distances suffice for touch detection in a snapped
-    planar subdivision (features meet at shared vertices / vertices on
-    edges, never by proper crossing)."""
-    d1 = jg.point_segment_distance(sa[:, None, 0, :], sb[None, :, 0, :],
-                                   sb[None, :, 1, :])
-    d2 = jg.point_segment_distance(sa[:, None, 1, :], sb[None, :, 0, :],
-                                   sb[None, :, 1, :])
-    d3 = jg.point_segment_distance(sb[None, :, 0, :], sa[:, None, 0, :],
-                                   sa[:, None, 1, :])
-    d4 = jg.point_segment_distance(sb[None, :, 1, :], sa[:, None, 0, :],
-                                   sa[:, None, 1, :])
-    d = jnp.minimum(jnp.minimum(d1, d2), jnp.minimum(d3, d4))
-    d = jnp.where(ma[:, None] & mb[None, :], d, jg.BIG)
-    return d.min(axis=(0, 1))
-
-
 def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
-                      killed_ids: jnp.ndarray, region_bbox: jnp.ndarray
-                      ) -> PlanState:
-    """Kill edges of removed features; connect new features to everything
-    they touch. Candidates are prefiltered by bbox overlap with the mutated
-    block's bbox (all new geometry lies inside it), replacing the
-    reference's full per-step libpysal rebuild (plan_client.py:250-263)."""
-    edge = state.edge
-    edge_alive = state.edge_alive
+                      killed_ids: jnp.ndarray) -> PlanState:
+    """Maintain the feature-point incidence matrix and the contiguity edge
+    table after a placement.
+
+    TPU-native replacement for the reference's per-step libpysal rebuild
+    (plan_client.py:250-263): every feature contact passes through a
+    registered intersection point, so contiguity(A, B) reduces to
+    ``any(I[A] & I[B])`` — computed as one MXU matmul over the incidence
+    matrix. Slot allocation and row compaction are rank one-hot matmuls
+    (rank_compact); no sorts, searchsorted, or large scatters."""
     sentinel = spec.num_features
     killed_mask = jnp.zeros(sentinel + 1, bool)
     killed_mask = killed_mask.at[
         jnp.where(killed_ids >= 0, killed_ids, sentinel)].set(True,
                                                               mode='drop')
-    edge_alive = edge_alive & ~killed_mask[edge[:, 0]] & \
-        ~killed_mask[edge[:, 1]]
+    edge_alive = state.edge_alive & ~killed_mask[state.edge[:, 0]] & \
+        ~killed_mask[state.edge[:, 1]]
 
-    alive = feature_alive(spec, state)
-    bboxes = feature_bboxes(spec, state)
-    tol = 10 * MERGE_TOL
-    overlap = alive & \
-        (bboxes[:, 0] <= region_bbox[2] + tol) & \
-        (region_bbox[0] <= bboxes[:, 2] + tol) & \
-        (bboxes[:, 1] <= region_bbox[3] + tol) & \
-        (region_bbox[1] <= bboxes[:, 3] + tol)
-    n_overlap = jnp.sum(overlap)
-    cand_fail = n_overlap > N_CANDIDATES
-    _, cand_idx = jax.lax.top_k(overlap.astype(jnp.int32)
-                                - jnp.arange(spec.num_features) * 0,
-                                N_CANDIDATES)
-    cand_valid = overlap[cand_idx]
+    # ---- incidence maintenance -----------------------------------------
+    incidence = state.incidence & ~killed_mask[:sentinel, None]
 
+    # rows for new features: a feature touches point p when p lies on one of
+    # its segments (a point feature's degenerate segment covers equality)
     n_new = new_ids.shape[0]
     new_segs, new_masks = jax.vmap(
         lambda f: feature_segments_padded(spec, state, f))(new_ids)
-    cand_segs, cand_masks = jax.vmap(
-        lambda f: feature_segments_padded(spec, state, f))(cand_idx)
+    d_rows = jg.point_segment_distance(
+        state.pt[None, None, :, :], new_segs[:, :, None, 0, :],
+        new_segs[:, :, None, 1, :])                      # (n_new, KV, NPT)
+    d_rows = jnp.where(new_masks[:, :, None], d_rows, jg.BIG)
+    rows = (d_rows.min(axis=1) <= 10 * MERGE_TOL) & state.pt_alive[None, :]
+    row_idx = jnp.where(new_ids >= 0, new_ids, sentinel)
+    incidence = incidence.at[row_idx].set(rows, mode='drop',
+                                          unique_indices=True)
 
-    # chunk the new-feature axis with lax.map so the (chunk, K, KV, KV)
-    # distance temporaries stay small under a large env vmap batch
-    CH = 8
-    pad = (-n_new) % CH
-    ns = jnp.pad(new_segs, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    nm = jnp.pad(new_masks, ((0, pad), (0, 0)))
-    ns = ns.reshape(-1, CH, spec.KV, 2, 2)
-    nm = nm.reshape(-1, CH, spec.KV)
+    # columns for new points against OLD alive polygons: a new point landing
+    # on a neighbouring polygon's boundary makes them contiguous even though
+    # the neighbour predates this step
+    is_new_pt = (new_ids >= spec.NP + spec.NS)
+    new_pt_xy = state.pt[jnp.clip(new_ids - spec.NP - spec.NS, 0,
+                                  spec.NPT - 1)]          # (n_new, 2)
+    poly_segs, poly_m = jax.vmap(jg.ring_segments)(state.poly_ring,
+                                                   state.poly_nvert)
+    poly_m = poly_m & state.poly_alive[:, None]
+    d_cols = jg.point_segment_distance(
+        new_pt_xy[:, None, None, :], poly_segs[None, :, :, 0, :],
+        poly_segs[None, :, :, 1, :])                     # (n_new, NP, KV)
+    d_cols = jnp.where(poly_m[None, :, :], d_cols, jg.BIG)
+    on_poly = (d_cols.min(axis=2) <= 10 * MERGE_TOL) & is_new_pt[:, None]
+    # scatter per-column OR: incidence[:NP, k] |= on_poly[j, :] for new pt k
+    col_idx = jnp.where(is_new_pt, new_ids - spec.NP - spec.NS, spec.NPT)
+    col_onehot = (col_idx[:, None] == jnp.arange(spec.NPT)[None, :]) & \
+        is_new_pt[:, None]                               # (n_new, NPT)
+    add_cols = jnp.einsum('jp,jk->pk', on_poly.astype(jnp.float32),
+                          col_onehot.astype(jnp.float32),
+                          preferred_element_type=jnp.float32) > 0.5
+    incidence = incidence.at[:spec.NP].max(add_cols)
 
-    def _chunk_dist(chunk):
-        cs, cm = chunk
-        return jax.vmap(lambda sa, ma: jax.vmap(
-            lambda sb, mb: _segset_distance(sa, ma, sb, mb))(
-            cand_segs, cand_masks))(cs, cm)
-
-    dist = jax.lax.map(_chunk_dist, (ns, nm))
-    dist = dist.reshape(-1, N_CANDIDATES)[:n_new]          # (n_new, K)
-
-    touch = dist <= MERGE_TOL
-    touch = touch & cand_valid[None, :] & (new_ids[:, None] >= 0)
+    # ---- contiguity via incidence matmul --------------------------------
+    alive = feature_alive(spec, state)
+    rows_now = incidence[row_idx % sentinel]             # refreshed rows
+    touch = jnp.einsum('np,fp->nf', rows_now.astype(jnp.bfloat16),
+                       incidence.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) > 0.5
+    touch = touch & alive[None, :] & (new_ids[:, None] >= 0)
     # drop self pairs and duplicate new-new pairs (keep earlier-rank target)
     new_rank_of = jnp.full(sentinel + 1, -1, jnp.int32)
     new_rank_of = new_rank_of.at[
         jnp.where(new_ids >= 0, new_ids, sentinel)].set(
         jnp.arange(n_new, dtype=jnp.int32), mode='drop')
-    cand_new_rank = new_rank_of[cand_idx]
-    touch = touch & (cand_idx[None, :] != new_ids[:, None])
-    touch = touch & ((cand_new_rank[None, :] < 0)
-                     | (cand_new_rank[None, :] < jnp.arange(n_new)[:, None]))
+    tgt_rank = new_rank_of[:sentinel]
+    feat_ids = jnp.arange(sentinel, dtype=jnp.int32)
+    touch = touch & (feat_ids[None, :] != new_ids[:, None])
+    touch = touch & ((tgt_rank[None, :] < 0)
+                     | (tgt_rank[None, :] < jnp.arange(n_new)[:, None]))
 
+    # ---- compact new edges and write into free slots --------------------
     flat = touch.reshape(-1)
     n_edges_new = jnp.sum(flat)
-    free = ~edge_alive
-    free_count = jnp.sum(free)
-    overflow = (n_edges_new > free_count) | cand_fail
-    rank = jnp.cumsum(flat) - 1
-    free_rank = jnp.cumsum(free)
-    slot_for = jnp.searchsorted(free_rank, rank + 1).astype(jnp.int32)
-    slot_idx = jnp.where(flat, jnp.minimum(slot_for, spec.NE - 1), spec.NE)
-    slot_idx = jnp.where(flat & (slot_for >= spec.NE), spec.NE, slot_idx)
-    src = jnp.repeat(new_ids, N_CANDIDATES)
-    tgt = jnp.tile(cand_idx, n_new)
-    edge = edge.at[slot_idx].set(
-        jnp.stack([src, tgt], axis=1).astype(jnp.int32), mode='drop')
-    edge_alive = edge_alive.at[slot_idx].set(True, mode='drop')
+    overflow = n_edges_new > MAX_NEW_EDGES
+    src = jnp.repeat(new_ids, sentinel)
+    tgt = jnp.tile(feat_ids, n_new)
+    pairs = rank_compact(flat, jnp.stack([src, tgt], axis=1),
+                         MAX_NEW_EDGES).astype(jnp.int32)  # (MAX_NEW_EDGES, 2)
+    pair_valid = jnp.arange(MAX_NEW_EDGES) < n_edges_new
+
+    slots, slot_ovf = free_slots(edge_alive, MAX_NEW_EDGES)
+    overflow = overflow | (slot_ovf & (n_edges_new >= MAX_NEW_EDGES))
+    n_free = jnp.sum(~edge_alive)
+    overflow = overflow | (n_edges_new > n_free)
+    # dense write via slot one-hot matmul (avoids TPU scatter)
+    write = pair_valid & (slots < spec.NE)
+    slot_onehot = (slots[:, None] == jnp.arange(spec.NE)[None, :]) & \
+        write[:, None]                                   # (MAX_NEW_EDGES, NE)
+    new_vals = jnp.einsum('ks,kd->sd', slot_onehot.astype(jnp.float32),
+                          pairs.astype(jnp.float32),
+                          preferred_element_type=jnp.float32).astype(jnp.int32)
+    hit = jnp.any(slot_onehot, axis=0)
+    edge = jnp.where(hit[:, None], new_vals, state.edge)
+    edge_alive = edge_alive | hit
     return state.replace(edge=edge, edge_alive=edge_alive,
+                         incidence=incidence,
                          failure=state.failure | overflow)
+
+
+MAX_NEW_EDGES = 192
 
 
 # ---------------------------------------------------------------------------
@@ -821,10 +811,13 @@ def greenness_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     is_res = alive & (types == city_config.RESIDENTIAL)
     radius = 300.0 / cell
 
-    _, res_idx = jax.lax.top_k(is_res.astype(jnp.int32), MAX_RES_POLYS)
-    res_valid = is_res[res_idx]
-    _, green_idx = jax.lax.top_k(is_green.astype(jnp.int32), MAX_GREEN_POLYS)
-    green_valid = is_green[green_idx]
+    res_idx = rank_compact(is_res, jnp.arange(spec.NP, dtype=jnp.int32),
+                           MAX_RES_POLYS).astype(jnp.int32)
+    res_valid = jnp.arange(MAX_RES_POLYS) < jnp.sum(is_res)
+    green_idx = rank_compact(is_green,
+                             jnp.arange(spec.NP, dtype=jnp.int32),
+                             MAX_GREEN_POLYS).astype(jnp.int32)
+    green_valid = jnp.arange(MAX_GREEN_POLYS) < jnp.sum(is_green)
 
     res_ring = state.poly_ring[res_idx]
     res_nv = state.poly_nvert[res_idx]
@@ -984,15 +977,12 @@ def land_use_stage_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
 # observation (reference observation_extractor.py:207-228, packed layout)
 # ---------------------------------------------------------------------------
 
-def build_obs(spec: EnvSpec, state: PlanState):
-    """Build the 9-tuple padded observation, packing alive features first
-    via cumsum (matching the reference's insertion-order packing)."""
+def _node_features(spec: EnvSpec, state: PlanState):
+    """Per-slot node feature matrix (NF, 23) and helper columns."""
     c = _consts(spec)
-    NF = spec.num_features
-    alive = feature_alive(spec, state)
-    types = feature_types(spec, state)
     cell = spec.cell_edge_length
     cell_area = cell * cell
+    types = feature_types(spec, state)
 
     cents_p = jax.vmap(jg.ring_centroid)(state.poly_ring, state.poly_nvert)
     areas_p = jax.vmap(jg.ring_area)(state.poly_ring, state.poly_nvert)
@@ -1031,41 +1021,11 @@ def build_obs(spec: EnvSpec, state: PlanState):
         (2 * heights / spec.common_max_edge_length - 1)[:, None],
         (2 * rect - 1)[:, None], (2 * eqi - 1)[:, None],
         (2 * sc - 1)[:, None]], axis=-1).astype(jnp.float32)
+    return feats
 
-    # pack alive features to the front (cumsum order = slot order)
-    packed_of = jnp.where(alive, jnp.cumsum(alive) - 1, spec.max_num_nodes)
-    n_alive = jnp.sum(alive)
-    nodes = jnp.zeros((spec.max_num_nodes, feats.shape[-1]), jnp.float32)
-    nodes = nodes.at[packed_of].set(jnp.where(alive[:, None], feats, 0.0),
-                                    mode='drop')
-    node_mask = jnp.arange(spec.max_num_nodes) < n_alive
 
-    # edges: remap endpoints to packed indices, pack alive edges
-    pad_node = spec.max_num_nodes - 1
-    packed_lookup = jnp.where(alive, jnp.cumsum(alive) - 1, pad_node)
-    e_ok = state.edge_alive & alive[state.edge[:, 0]] & \
-        alive[state.edge[:, 1]]
-    e_packed = jnp.where(e_ok, jnp.cumsum(e_ok) - 1, spec.max_num_edges)
-    n_edges = jnp.sum(e_ok)
-    remapped = packed_lookup[state.edge]
-    edges = jnp.full((spec.max_num_edges, 2), pad_node, jnp.int32)
-    edges = edges.at[e_packed].set(remapped.astype(jnp.int32), mode='drop')
-    edge_mask = jnp.arange(spec.max_num_edges) < n_edges
-
-    # masks
-    t = pending_land_use_type(spec, state)
-    lu_mask_slots = land_use_mask(spec, state, t) & e_ok
-    lu_mask = jnp.zeros(spec.max_num_edges, bool)
-    lu_mask = lu_mask.at[e_packed].set(lu_mask_slots, mode='drop')
-    rd_mask_slots = road_mask(spec, state)
-    rd_mask = jnp.zeros(spec.max_num_nodes, bool)
-    rd_mask = rd_mask.at[packed_of].set(rd_mask_slots & alive, mode='drop')
-    in_lu = state.stage == 0
-    in_rd = state.stage == 1
-    lu_mask = lu_mask & in_lu
-    rd_mask = rd_mask & in_rd
-
-    # numerical features
+def _numerical_and_current(spec: EnvSpec, state: PlanState):
+    c = _consts(spec)
     req_ratio = c['req_ratio']
     req_count = c['req_count'].astype(jnp.float32)
     max_count = jnp.maximum(req_count.max(), 1.0)
@@ -1074,7 +1034,8 @@ def build_obs(spec: EnvSpec, state: PlanState):
         req_ratio, req_count / max_count, ratio,
         state.plan_count.astype(jnp.float32) / max_count]).astype(jnp.float32)
 
-    # current land use (reference plan_client.py:335-346)
+    t = pending_land_use_type(spec, state)
+    in_lu = state.stage == 0
     cur_one_hot = jax.nn.one_hot(t, city_config.NUM_TYPES + 1)
     cur = jnp.concatenate([
         cur_one_hot,
@@ -1089,8 +1050,71 @@ def build_obs(spec: EnvSpec, state: PlanState):
         jnp.asarray([0.0, 0.0]), jnp.asarray([-1.0, -1.0, -1.0, -1.0]),
         jnp.asarray([0.0, 0.0, 0.0])]).astype(jnp.float32)
     cur = jnp.where(in_lu, cur, dummy)
-
     stage_oh = jax.nn.one_hot(state.stage, 3).astype(jnp.float32)
+    return numerical, cur, stage_oh, t
+
+
+def build_obs(spec: EnvSpec, state: PlanState):
+    """Slot-layout observation: node i IS feature slot i, edge e IS edge
+    slot e; dead slots are masked out. No packing — the reference packs
+    alive features to the front (observation_extractor.py:69-97), but only
+    the masks carry semantics, and slot layout avoids per-step sorts (the
+    policy's action spaces are then slot indices directly)."""
+    alive = feature_alive(spec, state)
+    feats = _node_features(spec, state)
+    nodes = jnp.where(alive[:, None], feats, 0.0)
+    node_mask = alive
+
+    pad_node = spec.num_features - 1
+    e_ok = state.edge_alive & alive[state.edge[:, 0]] & \
+        alive[state.edge[:, 1]]
+    edges = jnp.where(e_ok[:, None], state.edge, pad_node).astype(jnp.int32)
+    edge_mask = e_ok
+
+    numerical, cur, stage_oh, t = _numerical_and_current(spec, state)
+    in_lu = state.stage == 0
+    in_rd = state.stage == 1
+    lu_mask = land_use_mask(spec, state, t) & e_ok & in_lu
+    rd_mask = road_mask(spec, state) & alive & in_rd
+
+    return (numerical, nodes, edges, cur, node_mask, edge_mask, lu_mask,
+            rd_mask, stage_oh)
+
+
+def build_obs_packed(spec: EnvSpec, state: PlanState):
+    """Reference-layout observation: alive features packed to the front and
+    padded to (max_num_nodes, max_num_edges) — exactly the layout of the
+    host ObservationExtractor. Used for host-parity tests and plan export;
+    the rollout path uses the sort-free slot layout above."""
+    alive = feature_alive(spec, state)
+    feats = _node_features(spec, state)
+
+    n_alive = jnp.sum(alive)
+    perm = jnp.argsort(~alive, stable=True)
+    node_mask = jnp.arange(spec.max_num_nodes) < n_alive
+    gather_idx = perm[:spec.max_num_nodes]
+    nodes = jnp.where(node_mask[:, None], feats[gather_idx], 0.0)
+
+    pad_node = spec.max_num_nodes - 1
+    packed_lookup = jnp.where(alive, jnp.cumsum(alive) - 1, pad_node)
+    rd_mask_slots = road_mask(spec, state)
+    rd_mask = node_mask & rd_mask_slots[gather_idx]
+
+    e_ok = state.edge_alive & alive[state.edge[:, 0]] & \
+        alive[state.edge[:, 1]]
+    n_edges = jnp.sum(e_ok)
+    eperm = jnp.argsort(~e_ok, stable=True)[:spec.max_num_edges]
+    edge_mask = jnp.arange(spec.max_num_edges) < n_edges
+    remapped = packed_lookup[state.edge].astype(jnp.int32)
+    edges = jnp.where(edge_mask[:, None], remapped[eperm], pad_node)
+
+    numerical, cur, stage_oh, t = _numerical_and_current(spec, state)
+    in_lu = state.stage == 0
+    in_rd = state.stage == 1
+    lu_mask_slots = land_use_mask(spec, state, t) & e_ok
+    lu_mask = edge_mask & lu_mask_slots[eperm] & in_lu
+    rd_mask = rd_mask & in_rd
+
     return (numerical, nodes, edges, cur, node_mask, edge_mask, lu_mask,
             rd_mask, stage_oh)
 

@@ -102,6 +102,27 @@ class ActorCritic(nn.Module):
         return jnp.stack([jnp.where(in_lu, lu_action, 0),
                           jnp.where(in_road, road_action, 0)], axis=-1)
 
+    def sample_action_logp_value(self, obs, rng, use_mean) -> Tuple:
+        """One trunk pass for rollouts: sample the action and return its
+        log-prob and the state value together (the reference needs separate
+        policy/value passes; on TPU the fused pass halves rollout cost)."""
+        lu_logits, road_logits, stage, value = self._trunk(obs)
+        rng_lu, rng_road = jax.random.split(rng)
+        lu_sample = jax.random.categorical(rng_lu, lu_logits, axis=-1)
+        road_sample = jax.random.categorical(rng_road, road_logits, axis=-1)
+        lu_action = jnp.where(use_mean, jnp.argmax(lu_logits, axis=-1),
+                              lu_sample)
+        road_action = jnp.where(use_mean, jnp.argmax(road_logits, axis=-1),
+                                road_sample)
+        in_lu = stage[..., 0] > 0.5
+        in_road = stage[..., 1] > 0.5
+        action = jnp.stack([jnp.where(in_lu, lu_action, 0),
+                            jnp.where(in_road, road_action, 0)], axis=-1)
+        lu_lp = categorical_log_prob(lu_logits, action[..., 0])
+        road_lp = categorical_log_prob(road_logits, action[..., 1])
+        log_prob = jnp.where(in_lu, lu_lp, jnp.where(in_road, road_lp, 0.0))
+        return action, log_prob[..., None], value
+
     def log_prob_entropy_value(self, obs, action) -> Tuple:
         """One trunk pass serving the whole PPO loss."""
         lu_logits, road_logits, stage, value = self._trunk(obs)
