@@ -1,0 +1,84 @@
+"""Headline benchmark: batched HLG rollout throughput on one TPU chip.
+
+Runs the jitted batched environment (urban_tpu.jaxenv) with the SGNN policy
+on the HLG scenario — the reference's headline workload (reference:
+urban_planning/cfg/exp_cfg/real/hlg.yaml) — and prints one JSON line:
+
+  {"metric": "...", "value": N, "unit": "env_steps/sec/chip", "vs_baseline": N}
+
+Baseline: the reference samples with 20 forked CPU workers at roughly
+5 env steps/sec/worker on this scenario (measured with our exact host
+engine, which matches the reference's architecture; see BASELINE.md), i.e.
+~100 env steps/sec for the whole 20-process reference setup.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_STEPS_PER_SEC = 100.0  # 20 workers x ~5 steps/s (BASELINE.md)
+
+
+def main() -> None:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from urban_tpu.utils.config import Config
+    from urban_tpu.envs.plan_client import PlanClient
+    from urban_tpu.jaxenv.state import build_env_spec, build_initial_state
+    from urban_tpu.jaxenv.rollout import rollout_bench, broadcast_state
+    from urban_tpu.jaxenv.step import build_obs
+    from urban_tpu.models.model import create_model
+
+    B = int(os.environ.get('BENCH_NUM_ENVS', 128))
+    T = int(os.environ.get('BENCH_NUM_STEPS', 35))
+
+    cfg = Config('hlg', 0, tmp=True)
+    plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
+    spec = build_env_spec(cfg, plc, max_steps=cfg.max_sequence_length)
+    init_state = build_initial_state(spec, plc)
+    cfg.state_encoder_specs = dict(cfg.state_encoder_specs)
+    cfg.state_encoder_specs['max_num_nodes'] = spec.num_features
+    cfg.state_encoder_specs['max_num_edges'] = spec.NE
+    model = create_model(cfg, 'sgnn')
+    obs0 = jax.tree.map(lambda x: x[None], build_obs(spec, init_state))
+    params = model.init(jax.random.PRNGKey(0), obs0)
+    start = broadcast_state(init_state.replace(done=jnp.asarray(True)), B)
+
+    # compile + warmup
+    out = rollout_bench(spec, model, params, init_state, start,
+                        jax.random.PRNGKey(1), T)
+    np.asarray(out[1])
+
+    best = 0.0
+    eps = fails = 0
+    mean_r = 0.0
+    for trial in range(3):
+        t0 = time.time()
+        state, n_eps, n_fail, r_sum = rollout_bench(
+            spec, model, params, init_state, start,
+            jax.random.PRNGKey(2 + trial), T)
+        n_eps = int(np.asarray(n_eps))
+        n_fail = int(np.asarray(n_fail))
+        r_sum = float(np.asarray(r_sum))
+        dt = time.time() - t0
+        best = max(best, B * T / dt)
+        eps, fails = n_eps, n_fail
+        mean_r = r_sum / max(n_eps - n_fail, 1)
+
+    print(json.dumps({
+        'metric': 'batched HLG rollout throughput (SGNN policy, jitted env)',
+        'value': round(best, 1),
+        'unit': 'env_steps/sec/chip',
+        'vs_baseline': round(best / REFERENCE_STEPS_PER_SEC, 2),
+        'detail': {'num_envs': B, 'rollout_len': T, 'episodes': eps,
+                   'failures': fails,
+                   'mean_episode_reward': round(mean_r, 3)},
+    }))
+
+
+if __name__ == '__main__':
+    main()

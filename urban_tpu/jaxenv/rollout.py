@@ -100,6 +100,40 @@ def rollout(spec: EnvSpec, model, params, init_state: PlanState,
     return final_state, traj
 
 
+@partial(jax.jit, static_argnames=('spec', 'model', 'num_steps'))
+def rollout_bench(spec: EnvSpec, model, params, init_state: PlanState,
+                  start_state: PlanState, rng: jnp.ndarray, num_steps: int):
+    """Throughput-measurement rollout: no trajectory storage, returns only
+    episode statistics (the PPO path stores trajectories; pure env+policy
+    stepping is what the steps/sec benchmark measures)."""
+    batch_obs, batch_step = make_batch_fns(spec)
+    B = start_state.stage.shape[0]
+    init_b = broadcast_state(init_state, B)
+
+    def scan_body(carry, step_rng):
+        state, n_eps, n_fail, reward_sum = carry
+        state = jax.tree.map(
+            lambda i, s: jnp.where(
+                state.done.reshape((-1,) + (1,) * (s.ndim - 1)), i, s),
+            init_b, state)
+        obs = batch_obs(state)
+        action, _, _ = model.apply(params, obs, step_rng,
+                                   jnp.zeros(B, bool),
+                                   method='sample_action_logp_value')
+        next_state, reward, done, info = batch_step(state, action)
+        n_eps = n_eps + jnp.sum(done)
+        n_fail = n_fail + jnp.sum(info['failure'])
+        reward_sum = reward_sum + jnp.sum(jnp.where(done & ~info['failure'],
+                                                    reward, 0.0))
+        return (next_state, n_eps, n_fail, reward_sum), None
+
+    rngs = jax.random.split(rng, num_steps)
+    (state, n_eps, n_fail, reward_sum), _ = jax.lax.scan(
+        scan_body, (start_state, jnp.asarray(0), jnp.asarray(0),
+                    jnp.asarray(0.0)), rngs)
+    return state, n_eps, n_fail, reward_sum
+
+
 @jax.jit
 def episode_success_weights(dones: jnp.ndarray, failures: jnp.ndarray,
                             rewards: jnp.ndarray) -> jnp.ndarray:

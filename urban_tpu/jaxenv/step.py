@@ -307,19 +307,20 @@ def rank_compact(flags: jnp.ndarray, values: jnp.ndarray,
                  out_size: int) -> jnp.ndarray:
     """out[j] = values[p] for the p with rank j among flagged positions.
 
-    TPU-native compaction: a rank one-hot matmul on the MXU instead of
-    sort/scatter/searchsorted (all of which serialize badly on TPU).
+    TPU-native compaction: ranks from a cumsum are nondecreasing, so the
+    gather-by-rank is a SORTED segment-sum — the one scatter form TPUs
+    execute vectorized (sorts/searchsorted/unsorted scatters all serialize).
     values: (n,) or (n, d) numeric; positions beyond the flagged count give 0.
     """
     r = jnp.cumsum(flags.astype(jnp.int32)) - 1
-    onehot = (flags[:, None]
-              & (r[:, None] == jnp.arange(out_size)[None, :]))
-    v = values.astype(jnp.float32)
+    ids = jnp.clip(r, 0, out_size - 1)
+    v = values
     squeeze = v.ndim == 1
     if squeeze:
         v = v[:, None]
-    out = jnp.einsum('no,nd->od', onehot.astype(jnp.float32), v,
-                     preferred_element_type=jnp.float32)
+    vw = jnp.where((flags & (r < out_size))[:, None], v, 0)
+    out = jax.ops.segment_sum(vw, ids, num_segments=out_size,
+                              indices_are_sorted=True)
     return out[:, 0] if squeeze else out
 
 
@@ -669,7 +670,8 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
         is_new_pt[:, None]                               # (n_new, NPT)
     add_cols = jnp.einsum('jp,jk->pk', on_poly.astype(jnp.float32),
                           col_onehot.astype(jnp.float32),
-                          preferred_element_type=jnp.float32) > 0.5
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST) > 0.5
     incidence = incidence.at[:spec.NP].max(add_cols)
 
     # ---- contiguity via incidence matmul --------------------------------
@@ -694,10 +696,14 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
     flat = touch.reshape(-1)
     n_edges_new = jnp.sum(flat)
     overflow = n_edges_new > MAX_NEW_EDGES
+    # encode (src, tgt) as one integer: a (n, 2) layout would tile-pad its
+    # minor dimension 2 -> 128 on TPU (64x memory blowup)
     src = jnp.repeat(new_ids, sentinel)
     tgt = jnp.tile(feat_ids, n_new)
-    pairs = rank_compact(flat, jnp.stack([src, tgt], axis=1),
-                         MAX_NEW_EDGES).astype(jnp.int32)  # (MAX_NEW_EDGES, 2)
+    coded = src * (sentinel + 1) + tgt
+    pairs_coded = rank_compact(flat, coded, MAX_NEW_EDGES).astype(jnp.int32)
+    pairs = jnp.stack([pairs_coded // (sentinel + 1),
+                       pairs_coded % (sentinel + 1)], axis=1)
     pair_valid = jnp.arange(MAX_NEW_EDGES) < n_edges_new
 
     slots, slot_ovf = free_slots(edge_alive, MAX_NEW_EDGES)
@@ -710,7 +716,9 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
         write[:, None]                                   # (MAX_NEW_EDGES, NE)
     new_vals = jnp.einsum('ks,kd->sd', slot_onehot.astype(jnp.float32),
                           pairs.astype(jnp.float32),
-                          preferred_element_type=jnp.float32).astype(jnp.int32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST
+                          ).astype(jnp.int32)
     hit = jnp.any(slot_onehot, axis=0)
     edge = jnp.where(hit[:, None], new_vals, state.edge)
     edge_alive = edge_alive | hit
