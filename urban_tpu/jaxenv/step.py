@@ -313,14 +313,17 @@ def rank_compact(flags: jnp.ndarray, values: jnp.ndarray,
     values: (n,) or (n, d) numeric; positions beyond the flagged count give 0.
     """
     r = jnp.cumsum(flags.astype(jnp.int32)) - 1
-    ids = jnp.clip(r, 0, out_size - 1)
-    v = values
+    onehot = flags[:, None] & (r[:, None] == jnp.arange(out_size)[None, :])
+    v = values.astype(jnp.float32)
     squeeze = v.ndim == 1
     if squeeze:
         v = v[:, None]
-    vw = jnp.where((flags & (r < out_size))[:, None], v, 0)
-    out = jax.ops.segment_sum(vw, ids, num_segments=out_size,
-                              indices_are_sorted=True)
+    # TPU matmuls default to bf16 passes; index values exceed bf16's integer
+    # range, so force full f32 precision (exact for ints < 2^24). Callers
+    # keep n*out_size bounded (two-stage compaction for large inputs).
+    out = jnp.einsum('no,nd->od', onehot.astype(jnp.float32), v,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return out[:, 0] if squeeze else out
 
 
@@ -693,13 +696,34 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
                      | (tgt_rank[None, :] < jnp.arange(n_new)[:, None]))
 
     # ---- compact new edges and write into free slots --------------------
-    flat = touch.reshape(-1)
+    # two-stage compaction keeps every rank one-hot small: first compact
+    # each new feature's neighbour row (NF -> per-kind degree cap), then
+    # flatten the survivors into edge records. New polygons (parcel +
+    # wedges, the first N_NEW_POLY rows) can border many features; new
+    # points/segments have small degree.
+    DEG_POLY, DEG_OTHER = 96, 24
+    row_counts = jnp.sum(touch, axis=1)
+    deg_cap = jnp.concatenate([
+        jnp.full(N_NEW_POLY, DEG_POLY),
+        jnp.full(n_new - N_NEW_POLY, DEG_OTHER)])
+    overflow = jnp.any(row_counts > deg_cap)
+    neigh_p = jax.vmap(lambda row: rank_compact(
+        row, feat_ids, DEG_POLY))(touch[:N_NEW_POLY]).astype(jnp.int32)
+    neigh_o = jax.vmap(lambda row: rank_compact(
+        row, feat_ids, DEG_OTHER))(touch[N_NEW_POLY:]).astype(jnp.int32)
+    valid_p = (jnp.arange(DEG_POLY)[None, :]
+               < row_counts[:N_NEW_POLY, None]).reshape(-1)
+    valid_o = (jnp.arange(DEG_OTHER)[None, :]
+               < row_counts[N_NEW_POLY:, None]).reshape(-1)
+
+    flat = jnp.concatenate([valid_p, valid_o])
     n_edges_new = jnp.sum(flat)
-    overflow = n_edges_new > MAX_NEW_EDGES
+    overflow = overflow | (n_edges_new > MAX_NEW_EDGES)
     # encode (src, tgt) as one integer: a (n, 2) layout would tile-pad its
     # minor dimension 2 -> 128 on TPU (64x memory blowup)
-    src = jnp.repeat(new_ids, sentinel)
-    tgt = jnp.tile(feat_ids, n_new)
+    src = jnp.concatenate([jnp.repeat(new_ids[:N_NEW_POLY], DEG_POLY),
+                           jnp.repeat(new_ids[N_NEW_POLY:], DEG_OTHER)])
+    tgt = jnp.concatenate([neigh_p.reshape(-1), neigh_o.reshape(-1)])
     coded = src * (sentinel + 1) + tgt
     pairs_coded = rank_compact(flat, coded, MAX_NEW_EDGES).astype(jnp.int32)
     pairs = jnp.stack([pairs_coded // (sentinel + 1),
