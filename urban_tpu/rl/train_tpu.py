@@ -58,6 +58,10 @@ class TPUTrainer:
         self.logger = create_logger(os.path.join(cfg.log_dir,
                                                  'log_train_tpu.txt'))
 
+        # slot-layout observations: nodes = feature slots, edges = edge slots
+        cfg.state_encoder_specs = dict(cfg.state_encoder_specs)
+        cfg.state_encoder_specs['max_num_nodes'] = self.spec.num_features
+        cfg.state_encoder_specs['max_num_edges'] = self.spec.NE
         self.model = create_sgnn_model(cfg) if encoder == 'sgnn' \
             else create_mlp_model(cfg)
         from urban_tpu.jaxenv.step import build_obs
