@@ -269,20 +269,30 @@ class PlanClient:
         return np.asarray(segs), np.asarray(owner, dtype=np.int64)
 
     def _get_current_graph(self) -> None:
-        """Rebuild the alive-feature view and its contiguity edges."""
+        """Rebuild the alive-feature view and its contiguity edges.
+
+        Uses the native grid-hash kernel (native/contiguity.cpp) when
+        available; otherwise the vectorized numpy distance matrix."""
         if self._graph_version == self._table_version:
             return
         rows = self._table.alive_rows()
         n = len(rows)
         segs, owner = self._feature_segments(rows)
-        dmat = ops.segment_distance_matrix(segs, segs)
-        touch = dmat <= self.CONTIG_TOL
-        adj = np.zeros((n, n), dtype=bool)
-        np.logical_or.at(adj, (owner[:, None], owner[None, :]), touch)
-        iu, ju = np.nonzero(np.triu(adj, k=1))
+        from urban_tpu.geometry import native
+        pairs = native.contiguity_pairs(segs, owner, n, self.CONTIG_TOL) \
+            if native.available() else None
+        if pairs is not None:
+            order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+            self._current_edges = pairs[order].astype(np.int64)
+        else:
+            dmat = ops.segment_distance_matrix(segs, segs)
+            touch = dmat <= self.CONTIG_TOL
+            adj = np.zeros((n, n), dtype=bool)
+            np.logical_or.at(adj, (owner[:, None], owner[None, :]), touch)
+            iu, ju = np.nonzero(np.triu(adj, k=1))
+            self._current_edges = np.stack([iu, ju], axis=1) if len(iu) \
+                else np.zeros((0, 2), dtype=np.int64)
         self._current_rows = rows
-        self._current_edges = np.stack([iu, ju], axis=1) if len(iu) else \
-            np.zeros((0, 2), dtype=np.int64)
         self._graph_version = self._table_version
 
     def _get_current_gdf_and_graph(self):

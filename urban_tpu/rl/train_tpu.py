@@ -116,17 +116,20 @@ class TPUTrainer:
         rng = np.random.default_rng(self.cfg.seed + iteration)
         for _ in range(self.cfg.num_optim_epoch):
             perm = rng.permutation(n)
-            for i in range(num_mb):
-                idx = jnp.asarray(perm[i * mb:(i + 1) * mb])
-                obs_b = tuple(o[idx] for o in flat_obs)
-                args = (obs_b, actions[idx], returns[idx], advantages[idx],
-                        fixed_lp[idx], exps[idx])
-                if self.mesh is not None:
+            if self.mesh is None:
+                # whole shuffled epoch as one XLA program
+                from urban_tpu.rl.ppo import ppo_update_epoch
+                self.params, self.opt_state, stats = ppo_update_epoch(
+                    self.model, self.optimizer, self.ppo_cfg, self.params,
+                    self.opt_state, flat_obs, actions, returns, advantages,
+                    fixed_lp, exps, jnp.asarray(perm), num_mb, mb)
+            else:
+                for i in range(num_mb):
+                    idx = jnp.asarray(perm[i * mb:(i + 1) * mb])
+                    obs_b = tuple(o[idx] for o in flat_obs)
+                    args = (obs_b, actions[idx], returns[idx],
+                            advantages[idx], fixed_lp[idx], exps[idx])
                     self.params, self.opt_state, stats = self.dp_update(
-                        self.params, self.opt_state, *args)
-                else:
-                    self.params, self.opt_state, stats = ppo_update_step(
-                        self.model, self.optimizer, self.ppo_cfg,
                         self.params, self.opt_state, *args)
         return stats
 
