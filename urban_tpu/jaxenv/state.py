@@ -291,6 +291,15 @@ def build_initial_state(spec: EnvSpec, plc: PlanClient) -> PlanState:
     plan_area = np.array(plc._plan_area, dtype=np.float32)
     plan_count = np.array(plc._plan_count, dtype=np.int32)
 
+    # road-only configs start in the road stage with the budget fixed at
+    # reset (reference city.py:538-539)
+    if spec.skip_land_use:
+        from urban_tpu import city_config as cc
+        n_boundary = int(((seg_type == cc.BOUNDARY) & seg_alive).sum())
+        total_road_steps = int(np.floor(n_boundary * spec.road_ratio))
+    else:
+        total_road_steps = 0
+
     return PlanState(
         poly_ring=jnp.asarray(poly_ring), poly_nvert=jnp.asarray(poly_nvert),
         poly_type=jnp.asarray(poly_type), poly_alive=jnp.asarray(poly_alive),
@@ -305,7 +314,7 @@ def build_initial_state(spec: EnvSpec, plc: PlanClient) -> PlanState:
         stage=jnp.asarray(1 if spec.skip_land_use else 0, dtype=jnp.int32),
         land_use_steps=jnp.asarray(0, dtype=jnp.int32),
         road_steps=jnp.asarray(0, dtype=jnp.int32),
-        total_road_steps=jnp.asarray(0, dtype=jnp.int32),
+        total_road_steps=jnp.asarray(total_road_steps, dtype=jnp.int32),
         done=jnp.asarray(False),
         failure=jnp.asarray(False),
         land_use_reward=jnp.asarray(-1.0, dtype=jnp.float32),

@@ -197,3 +197,25 @@ def main():
 
 if __name__ == '__main__':
     main()
+
+
+def freeze_land_use_trainer(trainer: TPUTrainer, table) -> TPUTrainer:
+    """Two-phase curriculum for the TPU path: rebuild the trainer's spec and
+    initial state around a frozen land-use plan and switch to road-only
+    training (reference urban_planning_agent.py:214-221 / config.py:71-75)."""
+    cfg = trainer.cfg
+    cfg.finetune()
+    trainer.plc.freeze_land_use(table)
+    trainer.plc.unplan_all_land_use()
+    from urban_tpu.jaxenv.state import build_env_spec, build_initial_state
+    trainer.spec = build_env_spec(cfg, trainer.plc,
+                                  max_steps=cfg.max_sequence_length)
+    trainer.init_state = build_initial_state(trainer.spec, trainer.plc)
+    from urban_tpu.jaxenv.rollout import broadcast_state
+    import jax.numpy as jnp
+    trainer.env_states = broadcast_state(
+        trainer.init_state.replace(done=jnp.asarray(True)), trainer.num_envs)
+    if trainer.mesh is not None:
+        from urban_tpu.parallel.mesh import shard_batch
+        trainer.env_states = shard_batch(trainer.mesh, trainer.env_states)
+    return trainer
