@@ -34,11 +34,16 @@ def main() -> None:
     from urban_tpu.models.model import create_model
 
     B = int(os.environ.get('BENCH_NUM_ENVS', 128))
-    T = int(os.environ.get('BENCH_NUM_STEPS', 35))
+    T = int(os.environ.get('BENCH_NUM_STEPS', 30))
 
     cfg = Config('hlg', 0, tmp=True)
     plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
-    spec = build_env_spec(cfg, plc, max_steps=cfg.max_sequence_length)
+    # capacity tuning (profiled): the step is memory-bound on slot-table
+    # traffic, so the tightest failure-free capacities win. HLG episodes
+    # complete in ~29 steps -> T=30 wastes no post-reset steps.
+    caps = dict(KV=20, NP=256, NS=512, NPT=320, NE=2304)
+    spec = build_env_spec(cfg, plc, max_steps=cfg.max_sequence_length,
+                          caps=caps)
     init_state = build_initial_state(spec, plc)
     cfg.state_encoder_specs = dict(cfg.state_encoder_specs)
     cfg.state_encoder_specs['max_num_nodes'] = spec.num_features
