@@ -30,8 +30,12 @@ from urban_tpu.geometry.base import LINE, POINT, POLY
 
 @struct.dataclass
 class PlanState:
+    # Coordinate buffers are STORED flat: TPU tiles are (8, 128), so a
+    # trailing dimension of 2 would be lane-padded 2 -> 128 (64x memory) in
+    # every carried copy of the state. The logical (…, 2) views are exposed
+    # as properties.
     # polygons
-    poly_ring: jnp.ndarray      # (NP, KV, 2) f32
+    poly_ring_flat: jnp.ndarray  # (NP, KV*2) f32
     poly_nvert: jnp.ndarray     # (NP,) i32
     poly_type: jnp.ndarray      # (NP,) i32
     poly_alive: jnp.ndarray     # (NP,) bool
@@ -39,11 +43,11 @@ class PlanState:
     poly_eqi: jnp.ndarray       # (NP,) f32
     poly_sc: jnp.ndarray        # (NP,) f32
     # segments
-    seg: jnp.ndarray            # (NS, 2, 2) f32
+    seg_flat: jnp.ndarray       # (NS, 4) f32
     seg_type: jnp.ndarray       # (NS,) i32
     seg_alive: jnp.ndarray      # (NS,) bool
     # points
-    pt: jnp.ndarray             # (NPT, 2) f32
+    pt_flat: jnp.ndarray        # (NPT*2,) f32
     pt_alive: jnp.ndarray       # (NPT,) bool
     # contiguity edges
     edge: jnp.ndarray           # (NE, 2) i32 global feature indices
@@ -64,6 +68,21 @@ class PlanState:
     done: jnp.ndarray           # () bool
     failure: jnp.ndarray        # () bool
     land_use_reward: jnp.ndarray  # () f32 cached at stage boundary
+
+    @property
+    def poly_ring(self) -> jnp.ndarray:
+        s = self.poly_ring_flat.shape
+        return self.poly_ring_flat.reshape(s[:-1] + (s[-1] // 2, 2))
+
+    @property
+    def seg(self) -> jnp.ndarray:
+        s = self.seg_flat.shape
+        return self.seg_flat.reshape(s[:-1] + (2, 2))
+
+    @property
+    def pt(self) -> jnp.ndarray:
+        s = self.pt_flat.shape
+        return self.pt_flat.reshape(s[:-1] + (s[-1] // 2, 2))
 
 
 @dataclass(frozen=True)
@@ -301,13 +320,15 @@ def build_initial_state(spec: EnvSpec, plc: PlanClient) -> PlanState:
         total_road_steps = 0
 
     return PlanState(
-        poly_ring=jnp.asarray(poly_ring), poly_nvert=jnp.asarray(poly_nvert),
+        poly_ring_flat=jnp.asarray(poly_ring.reshape(NP, KV * 2)),
+        poly_nvert=jnp.asarray(poly_nvert),
         poly_type=jnp.asarray(poly_type), poly_alive=jnp.asarray(poly_alive),
         poly_rect=jnp.asarray(poly_rect), poly_eqi=jnp.asarray(poly_eqi),
         poly_sc=jnp.asarray(poly_sc),
-        seg=jnp.asarray(seg), seg_type=jnp.asarray(seg_type),
+        seg_flat=jnp.asarray(seg.reshape(NS, 4)),
+        seg_type=jnp.asarray(seg_type),
         seg_alive=jnp.asarray(seg_alive),
-        pt=jnp.asarray(pt), pt_alive=jnp.asarray(pt_alive),
+        pt_flat=jnp.asarray(pt.reshape(-1)), pt_alive=jnp.asarray(pt_alive),
         edge=jnp.asarray(edge_arr), edge_alive=jnp.asarray(edge_alive),
         incidence=jnp.asarray(incidence),
         plan_area=jnp.asarray(plan_area), plan_count=jnp.asarray(plan_count),

@@ -556,11 +556,13 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     plan_count = state.plan_count.at[actual_t].add(1)
 
     interim = state.replace(
-        poly_ring=poly_ring, poly_nvert=poly_nvert, poly_type=poly_type,
+        poly_ring_flat=poly_ring.reshape(spec.NP, spec.KV * 2),
+        poly_nvert=poly_nvert, poly_type=poly_type,
         poly_alive=poly_alive, poly_rect=poly_rect, poly_eqi=poly_eqi,
-        poly_sc=poly_sc, seg=seg, seg_type=seg_type, seg_alive=seg_alive,
-        pt=pt, pt_alive=pt_alive, plan_area=plan_area, plan_count=plan_count,
-        land_use_steps=state.land_use_steps + 1)
+        poly_sc=poly_sc, seg_flat=seg.reshape(spec.NS, 4),
+        seg_type=seg_type, seg_alive=seg_alive,
+        pt_flat=pt.reshape(-1), pt_alive=pt_alive, plan_area=plan_area,
+        plan_count=plan_count, land_use_steps=state.land_use_steps + 1)
 
     # ---- contiguity update ---------------------------------------------
     # new features: parcel, valid pieces, new points, split halves, new
