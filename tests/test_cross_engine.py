@@ -85,11 +85,11 @@ def test_first_placement_matches_host(pick):
     counts_jax = np.asarray(nxt.plan_count)
     assert counts_jax[placed_type] == counts_host[placed_type]
     area_jax = float(np.asarray(nxt.plan_area)[placed_type])
-    # hard invariants: the jitted parcel respects the same land-use
-    # constraints the host enforced
-    max_area = spec.required_max_area[placed_type]
+    # hard invariant: a parcel below the type's min area would have been
+    # downgraded to GREEN_S by both engines (plan_client.py:708-710); note
+    # the reference enforces no post-slice MAX area, so neither do we
     min_area = spec.required_min_area[placed_type]
-    assert (min_area * 0.9 <= area_jax <= max_area * 1.1
+    assert (area_jax >= min_area * 0.9
             or placed_type == city_config.GREEN_S)
     # approximation quality: the jit slicer collapses the tree's refinement
     # branches, so parcels agree exactly on dominant paths and stay within
