@@ -71,3 +71,41 @@ def test_geojson_roundtrip(tmp_path):
     for g1, g2 in zip(table.geoms[:20], table2.geoms[:20]):
         assert g1.kind == g2.kind
         assert np.allclose(g1.coords, g2.coords)
+
+
+BASELINE_GOLDEN = {
+    ('hlg', 'rule-centralized'): 2.6321,
+    ('hlg', 'rule-decentralized'): 3.3039,
+    ('hlg', 'gsca'): 3.6798,
+    ('dhm', 'rule-centralized'): 2.4190,
+}
+
+
+@pytest.mark.parametrize('scenario,agent', list(BASELINE_GOLDEN))
+def test_heuristic_baseline_regression(scenario, agent):
+    """Deterministic heuristic-agent episodes (seed 111, greedy) pinned as
+    regression values (the reference's re-derivable baseline runs,
+    README.md:64-85)."""
+    import logging
+    from urban_tpu.envs.city import CityEnv
+    from urban_tpu.models.baseline import (GSCAPolicy, RuleCentralizedPolicy,
+                                           RuleDecentralizedPolicy)
+    from urban_tpu.rl.sampler import eval_episode
+    logging.disable(logging.CRITICAL)
+    cfg = Config(scenario, 111, tmp=True)
+    env = CityEnv(cfg)
+    plc = env._plc
+    pol = {'rule-centralized': RuleCentralizedPolicy,
+           'rule-decentralized': RuleDecentralizedPolicy}.get(agent)
+    policy = pol() if pol else GSCAPolicy(plc._grid_cols, plc._grid_rows,
+                                          plc._cell_edge_length)
+
+    def select(obs, seed, mean_action):
+        single = [np.asarray(o[0]) for o in obs]
+        rng = np.random.default_rng(seed)
+        return np.asarray(policy.select_action(single, rng, mean_action))[None]
+
+    log, info, success = eval_episode(env, select, mean_action=True, seed=111)
+    assert success
+    assert log.avg_episode_reward == pytest.approx(
+        BASELINE_GOLDEN[(scenario, agent)], abs=1e-3)
