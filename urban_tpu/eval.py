@@ -8,7 +8,9 @@ from __future__ import annotations
 from pprint import pprint
 
 import numpy as np
-from absl import app, flags
+from absl import app
+
+from urban_tpu.utils.flags import tolerant_flags as flags
 
 from urban_tpu.agents.urban_agent import UrbanPlanningAgent
 from urban_tpu.utils.config import Config

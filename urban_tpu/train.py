@@ -6,7 +6,9 @@ Usage:
 from __future__ import annotations
 
 import numpy as np
-from absl import app, flags
+from absl import app
+
+from urban_tpu.utils.flags import tolerant_flags as flags
 
 from urban_tpu.agents.urban_agent import UrbanPlanningAgent
 from urban_tpu.utils.config import Config
