@@ -188,6 +188,14 @@ def _envelope3(p0, p1, p2):
                       jnp.stack([lo[0], hi[1]])])
 
 
+def _envelope4(p0, p1, p2, p3):
+    pts = jnp.stack([p0, p1, p2, p3])
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    return jnp.stack([lo, jnp.stack([hi[0], lo[1]]), hi,
+                      jnp.stack([lo[0], hi[1]])])
+
+
 def compute_cut_quad(spec: EnvSpec, state: PlanState, ring, nv, X,
                      land_use_t):
     """Construct the convex cut for a block and chosen intersection.
@@ -239,14 +247,52 @@ def compute_cut_quad(spec: EnvSpec, state: PlanState, ring, nv, X,
     convex = inside & (angle <= 150.0) & is_corner
 
     # convex-corner cut
-    P1, _ = _slice_edge_end(spec, state, X, A, min_e_m, max_e_m, search_m)
-    P2, _ = _slice_edge_end(spec, state, X, B, min_e_m, max_e_m, search_m)
+    P1, whole1 = _slice_edge_end(spec, state, X, A, min_e_m, max_e_m,
+                                 search_m)
+    P2, whole2 = _slice_edge_end(spec, state, X, B, min_e_m, max_e_m,
+                                 search_m)
     hv = _axis_aligned(X, P1) | _axis_aligned(X, P2)
     quad_rot = jnp.stack([X, P1, P1 + P2 - X, P2])
     x, y = quad_rot[:, 0], quad_rot[:, 1]
     signed = 0.5 * jnp.sum(x * jnp.roll(y, -1) - jnp.roll(x, -1) * y)
     quad_rot = jnp.where(signed >= 0, quad_rot, quad_rot[::-1])
     cut_convex = jnp.where(hv, _envelope3(X, P1, P2), quad_rot)
+
+    # L/U-shape extension (reference shapely.py:386-443, 553-630): when a
+    # whole corner edge is shorter than the search length the cut extends
+    # around that corner along the next ring edge, with lengths re-rectified
+    # against the whole edge
+    def _l_extension(corner_pt, far_pt, next_pt, other_P):
+        # angle at corner_pt between X and next_pt: convex -> extend
+        midc = 0.5 * (X + next_pt)
+        dirc = midc - corner_pt
+        ndc = jnp.maximum(jnp.linalg.norm(dirc), 1e-9)
+        probe_c = corner_pt + dirc / ndc * jnp.minimum(EPS, ndc)
+        inside_c = jg.point_in_ring(probe_c, ring, nv)
+        va_c, vb_c = X - corner_pt, next_pt - corner_pt
+        cosang_c = jnp.sum(va_c * vb_c) / jnp.maximum(
+            jnp.linalg.norm(va_c) * jnp.linalg.norm(vb_c), 1e-12)
+        ang_c = jnp.degrees(jnp.arccos(jnp.clip(cosang_c, -1.0, 1.0)))
+        convex_c = inside_c & (ang_c <= 150.0)
+        # rectify lengths against the whole corner edge
+        el_m = jnp.maximum(jnp.linalg.norm(far_pt - X), 1e-9) * cell
+        rmin = jnp.maximum(min_e_m, c['min_area'][land_use_t] / el_m)
+        rmax = jnp.maximum(rmin, jnp.minimum(max_e_m,
+                                             c['max_area'][land_use_t] / el_m))
+        rs = rmax + spec.common_min_edge_length
+        P3, _ = _slice_edge_end(spec, state, corner_pt, next_pt, rmin, rmax,
+                                rs)
+        ext = _envelope4(X, far_pt, other_P, P3)
+        base = _envelope3(X, far_pt, other_P)
+        return jnp.where(convex_c, ext, base)
+
+    A2 = ring[prv_idx[prv_idx[vi]]]
+    B2 = ring[nxt_idx[nxt_idx[vi]]]
+    cut_whole1 = _l_extension(A, A, A2, P2)
+    cut_whole2 = _l_extension(B, B, B2, P1)
+    cut_convex = jnp.where(whole1 & is_corner, cut_whole1,
+                           jnp.where(whole2 & is_corner, cut_whole2,
+                                     cut_convex))
 
     # part-edge cut from the longer touching edge
     lenA = jnp.linalg.norm(A - X)
