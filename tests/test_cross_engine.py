@@ -91,7 +91,7 @@ def test_first_placement_matches_host(pick):
     min_area = spec.required_min_area[placed_type]
     assert (area_jax >= min_area * 0.9
             or placed_type == city_config.GREEN_S)
-    # approximation quality: the jit slicer collapses the tree's refinement
-    # branches, so parcels agree exactly on dominant paths and stay within
-    # the same order on refinement paths
-    assert area_jax == pytest.approx(float(area_host), rel=0.5)
+    # approximation quality: with the L/U-shape extension branches the jit
+    # slicer matches the host oracle within 5% on first placements
+    # (12/12 measured picks; 11 exact)
+    assert area_jax == pytest.approx(float(area_host), rel=0.06)
