@@ -56,9 +56,20 @@ def gather_to_edges(h_nodes, edges, edge_mask, edge_fc):
     return jnp.where(edge_mask[..., None], h_edges, 0.0)
 
 
+import os
+
+# Edge->node aggregation backend: 'matmul' builds a dense incidence one-hot
+# and aggregates on the MXU (forward AND backward are matmuls — TPU scatters
+# serialize, and their transpose in the PPO backward is the training
+# bottleneck); 'scatter' is the classical scatter-add.
+SCATTER_MODE = os.environ.get('URBAN_TPU_GNN_SCATTER', 'matmul')
+
+
 def scatter_to_nodes(h_edges, edges, edge_mask, num_nodes):
     """Mean-aggregate edge embeddings back to their endpoints
     (reference state_encoder.py:84-148)."""
+    if SCATTER_MODE == 'matmul':
+        return _scatter_to_nodes_matmul(h_edges, edges, edge_mask, num_nodes)
     d = h_edges.shape[-1]
     counts_src = jnp.where(edge_mask[..., None], 1.0, 0.0)
 
@@ -73,6 +84,21 @@ def scatter_to_nodes(h_edges, edges, edge_mask, num_nodes):
         sums, counts = jax.vmap(scatter_one)(h_edges, edges, counts_src)
     else:
         sums, counts = scatter_one(h_edges, edges, counts_src)
+    return sums / (counts + EPSILON)
+
+
+def _scatter_to_nodes_matmul(h_edges, edges, edge_mask, num_nodes):
+    """Aggregation as an incidence matmul: M[e, n] = 1 where n is an endpoint
+    of edge e; sums = Mᵀ h_edges, counts = Mᵀ mask. Activations are O(1)
+    tanh outputs, so bf16 matmul precision is ample."""
+    n_ids = jnp.arange(num_nodes)
+    m = ((edges[..., 0:1] == n_ids) | (edges[..., 1:2] == n_ids)) \
+        & edge_mask[..., None]
+    m16 = m.astype(jnp.bfloat16)
+    sums = jnp.einsum('...en,...ed->...nd', m16,
+                      h_edges.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    counts = jnp.sum(m, axis=-2)[..., None].astype(jnp.float32)
     return sums / (counts + EPSILON)
 
 
