@@ -48,11 +48,44 @@ def packed_action_to_slots(spec: EnvSpec, state: PlanState,
                       jnp.clip(node_slot, 0, spec.num_features - 1)])
 
 
-def make_batch_fns(spec: EnvSpec):
-    """Vmapped observation and step closures (slot-layout actions)."""
+def make_batch_fns(spec: EnvSpec, defer_rewards: bool = True):
+    """Vmapped observation and step closures (slot-layout actions).
+
+    With defer_rewards the per-env step skips stage-boundary reward
+    evaluation; `apply_stage_rewards` patches it behind a batch-level
+    lax.cond (most steps have no finishing episode, and cond on a scalar
+    predicate executes one branch — unlike per-env selects under vmap)."""
     batch_obs = jax.vmap(lambda s: build_obs(spec, s))
-    batch_step = jax.vmap(lambda s, a: env_step(spec, s, a))
+    batch_step = jax.vmap(
+        lambda s, a: env_step(spec, s, a, compute_rewards=not defer_rewards))
     return batch_obs, batch_step
+
+
+def apply_stage_rewards(spec: EnvSpec, states: PlanState, reward, info):
+    """Compute stage-boundary rewards only when some env finished."""
+    from urban_tpu.jaxenv.step import (FAILURE_REWARD, land_use_stage_reward,
+                                       road_network_reward)
+    B = reward.shape[0]
+    lu_done = info['lu_done']
+    rd_done = info['rd_done']
+    fail = info['failure']
+
+    lu_r = jax.lax.cond(
+        jnp.any(lu_done & ~fail),
+        lambda: jax.vmap(lambda s: land_use_stage_reward(spec, s))(states),
+        lambda: jnp.zeros(B))
+    reward = jnp.where(lu_done & ~fail, lu_r, reward)
+    land_use_reward = jnp.where(lu_done & ~fail, lu_r,
+                                states.land_use_reward)
+    states = states.replace(land_use_reward=land_use_reward)
+    if spec.road_network_weight > 0 and not spec.skip_road:
+        rd_r = jax.lax.cond(
+            jnp.any(rd_done & ~fail),
+            lambda: jax.vmap(lambda s: spec.road_network_weight
+                             * road_network_reward(spec, s))(states),
+            lambda: jnp.zeros(B))
+        reward = jnp.where(rd_done & ~fail, rd_r, reward)
+    return states, reward
 
 
 def broadcast_state(state: PlanState, batch: int) -> PlanState:
@@ -87,6 +120,8 @@ def rollout(spec: EnvSpec, model, params, init_state: PlanState,
         action, log_prob, value = model.apply(
             params, obs, rng_a, use_mean, method='sample_action_logp_value')
         next_state, reward, done, info = batch_step(state, action)
+        next_state, reward = apply_stage_rewards(spec, next_state, reward,
+                                                 info)
         out = (obs, action, log_prob[..., 0], value[..., 0], reward, done,
                info['failure'], (~use_mean).astype(jnp.float32))
         return next_state, out
@@ -121,6 +156,8 @@ def rollout_bench(spec: EnvSpec, model, params, init_state: PlanState,
                                    jnp.zeros(B, bool),
                                    method='sample_action_logp_value')
         next_state, reward, done, info = batch_step(state, action)
+        next_state, reward = apply_stage_rewards(spec, next_state, reward,
+                                                 info)
         n_eps = n_eps + jnp.sum(done)
         n_fail = n_fail + jnp.sum(info['failure'])
         reward_sum = reward_sum + jnp.sum(jnp.where(done & ~info['failure'],

@@ -1203,10 +1203,14 @@ def build_obs_packed(spec: EnvSpec, state: PlanState):
 # full step (reference city.py:420-522)
 # ---------------------------------------------------------------------------
 
-def env_step(spec: EnvSpec, state: PlanState, action: jnp.ndarray):
-    """One transition. action: (2,) int32 [land_use edge slot-packed index
-    translated by the caller, road node index]. Returns
-    (next_state, reward, done, info dict of scalars)."""
+def env_step(spec: EnvSpec, state: PlanState, action: jnp.ndarray,
+             compute_rewards: bool = True):
+    """One transition. action: (2,) int32 [land_use edge slot index, road
+    node slot index]. Returns (next_state, reward, done, info).
+
+    With compute_rewards=False the stage-boundary reward evaluation is
+    skipped (rollout gates it behind a batch-level lax.cond since only steps
+    where some episode finishes need it; see rollout.py)."""
     in_lu = state.stage == 0
     in_rd = state.stage == 1
 
@@ -1249,10 +1253,14 @@ def env_step(spec: EnvSpec, state: PlanState, action: jnp.ndarray):
                       total_road_steps=total_road_steps)
 
     # rewards at stage boundaries (reference city.py:204-234)
-    lu_reward_val = land_use_stage_reward(spec, nxt)
-    road_reward_val = (spec.road_network_weight
-                       * road_network_reward(spec, nxt)) \
-        if (spec.road_network_weight > 0 and not spec.skip_road) else 0.0
+    if compute_rewards:
+        lu_reward_val = land_use_stage_reward(spec, nxt)
+        road_reward_val = (spec.road_network_weight
+                           * road_network_reward(spec, nxt)) \
+            if (spec.road_network_weight > 0 and not spec.skip_road) else 0.0
+    else:
+        lu_reward_val = jnp.asarray(0.0)
+        road_reward_val = jnp.asarray(0.0)
 
     land_use_reward = jnp.where(lu_done, lu_reward_val, nxt.land_use_reward)
     reward = jnp.where(lu_done, lu_reward_val, 0.0)
