@@ -49,6 +49,9 @@ class PlanState:
     # points
     pt_flat: jnp.ndarray        # (NPT*2,) f32
     pt_alive: jnp.ndarray       # (NPT,) bool
+    # cached per-polygon derived features, recomputed only for new parcels:
+    # rows = [area, cx, cy, perimeter, minx, miny, maxx, maxy] (grid units)
+    poly_feat: jnp.ndarray      # (8, NP) f32
     # contiguity edges
     edge: jnp.ndarray           # (NE, 2) i32 global feature indices
     edge_alive: jnp.ndarray     # (NE,) bool
@@ -310,6 +313,17 @@ def build_initial_state(spec: EnvSpec, plc: PlanClient) -> PlanState:
     plan_area = np.array(plc._plan_area, dtype=np.float32)
     plan_count = np.array(plc._plan_count, dtype=np.int32)
 
+    # cached polygon features
+    poly_feat = np.zeros((8, NP), dtype=np.float32)
+    for i in range(NP):
+        if not poly_alive[i]:
+            continue
+        from urban_tpu.geometry.base import Geometry, POLY as GPOLY
+        g = Geometry(GPOLY, poly_ring[i, :poly_nvert[i]])
+        cx, cy = g.centroid
+        x0, y0, x1, y1 = g.bounds
+        poly_feat[:, i] = [g.area, cx, cy, g.perimeter, x0, y0, x1, y1]
+
     # road-only configs start in the road stage with the budget fixed at
     # reset (reference city.py:538-539)
     if spec.skip_land_use:
@@ -329,6 +343,7 @@ def build_initial_state(spec: EnvSpec, plc: PlanClient) -> PlanState:
         seg_type=jnp.asarray(seg_type),
         seg_alive=jnp.asarray(seg_alive),
         pt_flat=jnp.asarray(pt.reshape(-1)), pt_alive=jnp.asarray(pt_alive),
+        poly_feat=jnp.asarray(poly_feat),
         edge=jnp.asarray(edge_arr), edge_alive=jnp.asarray(edge_alive),
         incidence=jnp.asarray(incidence),
         plan_area=jnp.asarray(plan_area), plan_count=jnp.asarray(plan_count),

@@ -59,6 +59,15 @@ def _consts(spec: EnvSpec):
     }
 
 
+def ring_feat8(ring, nv):
+    """[area, cx, cy, perimeter, minx, miny, maxx, maxy] for one ring —
+    the cached per-polygon feature column (PlanState.poly_feat)."""
+    c = jg.ring_centroid(ring, nv)
+    b = jg.ring_bounds(ring, nv)
+    return jnp.stack([jg.ring_area(ring, nv), c[0], c[1],
+                      jg.ring_perimeter(ring, nv), b[0], b[1], b[2], b[3]])
+
+
 def pending_land_use_type(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     """First plan-order land use with unmet area ratio or count
     (reference plan_client.py:324-334)."""
@@ -104,8 +113,7 @@ def land_use_mask(spec: EnvSpec, state: PlanState,
     """(NE,) mask of contiguity edges joining an eligible feasible block
     with an intersection."""
     c = _consts(spec)
-    poly_areas = jax.vmap(jg.ring_area)(state.poly_ring, state.poly_nvert) \
-        * spec.cell_edge_length ** 2
+    poly_areas = state.poly_feat[0] * spec.cell_edge_length ** 2
     eligible_poly = state.poly_alive & \
         (state.poly_type == city_config.FEASIBLE) & \
         (poly_areas >= c['min_area'][land_use_t])
@@ -427,7 +435,7 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     nv = state.poly_nvert[p]
     X = state.pt[q]
 
-    block_area_m = jg.ring_area(ring, nv) * cell_area
+    block_area_m = state.poly_feat[0, p] * cell_area
     cut = compute_cut_quad(spec, state, ring, nv, X, t)
     parcel_r0, parcel_n0, ovf1 = jg.clip_poly_by_convex_quad(ring, nv, cut)
     parcel_area_m0 = jg.ring_area(parcel_r0, parcel_n0) * cell_area
@@ -586,7 +594,11 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     poly_eqi = state.poly_eqi.at[parcel_slot].set(eqi)
     poly_sc = state.poly_sc.at[parcel_slot].set(sc)
 
+    poly_feat = state.poly_feat.at[:, parcel_slot].set(
+        ring_feat8(parcel_r, parcel_n))
+    piece_feats = jax.vmap(ring_feat8)(pieces_r, pieces_n)   # (4, 8)
     pidx = jnp.where(piece_valid, piece_slots, spec.NP)
+    poly_feat = poly_feat.at[:, pidx].set(piece_feats.T, mode='drop')
     poly_ring = poly_ring.at[pidx].set(pieces_r, mode='drop')
     poly_nvert = poly_nvert.at[pidx].set(pieces_n, mode='drop')
     poly_type = poly_type.at[pidx].set(city_config.FEASIBLE, mode='drop')
@@ -607,7 +619,8 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
         poly_alive=poly_alive, poly_rect=poly_rect, poly_eqi=poly_eqi,
         poly_sc=poly_sc, seg_flat=seg.reshape(spec.NS, 4),
         seg_type=seg_type, seg_alive=seg_alive,
-        pt_flat=pt.reshape(-1), pt_alive=pt_alive, plan_area=plan_area,
+        pt_flat=pt.reshape(-1), pt_alive=pt_alive, poly_feat=poly_feat,
+        plan_area=plan_area,
         plan_count=plan_count, land_use_steps=state.land_use_steps + 1)
 
     # ---- contiguity update ---------------------------------------------
@@ -824,8 +837,8 @@ def apply_road(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
 def life_circle_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     """Service coverage + decentralization (plan_client.py:889-952)."""
     cell = spec.cell_edge_length
-    cents = jax.vmap(jg.ring_centroid)(state.poly_ring, state.poly_nvert)
-    areas = jax.vmap(jg.ring_area)(state.poly_ring, state.poly_nvert)
+    cents = state.poly_feat[1:3].T
+    areas = state.poly_feat[0]
     alive = state.poly_alive
     types = state.poly_type
     is_res = alive & (types == city_config.RESIDENTIAL)
@@ -883,7 +896,7 @@ def greenness_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     (realistic plans stay well under both caps)."""
     cell = spec.cell_edge_length
     cell_area = cell * cell
-    areas = jax.vmap(jg.ring_area)(state.poly_ring, state.poly_nvert)
+    areas = state.poly_feat[0]
     alive = state.poly_alive
     types = state.poly_type
     is_green = alive & jnp.isin(types, jnp.asarray(city_config.GREEN_ID)) & \
@@ -901,7 +914,7 @@ def greenness_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
 
     res_ring = state.poly_ring[res_idx]
     res_nv = state.poly_nvert[res_idx]
-    cents = jax.vmap(jg.ring_centroid)(res_ring, res_nv)
+    cents = state.poly_feat[1:3].T[res_idx]
     # sample points per residential poly: vertices + centroid
     samples = jnp.concatenate([res_ring, cents[:, None, :]], axis=1)
     smask = jnp.concatenate([
@@ -935,7 +948,7 @@ def concept_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     cell = spec.cell_edge_length
     alive = state.poly_alive
     types = state.poly_type
-    cents = jax.vmap(jg.ring_centroid)(state.poly_ring, state.poly_nvert)
+    cents = state.poly_feat[1:3].T
     total = jnp.asarray(0.0)
     for (kind, cx, cy, ex, ey, distance, bitmask) in spec.concepts:
         a = jnp.asarray([cx, cy])
@@ -1064,10 +1077,10 @@ def _node_features(spec: EnvSpec, state: PlanState):
     cell_area = cell * cell
     types = feature_types(spec, state)
 
-    cents_p = jax.vmap(jg.ring_centroid)(state.poly_ring, state.poly_nvert)
-    areas_p = jax.vmap(jg.ring_area)(state.poly_ring, state.poly_nvert)
-    perim_p = jax.vmap(jg.ring_perimeter)(state.poly_ring, state.poly_nvert)
-    bounds_p = jax.vmap(jg.ring_bounds)(state.poly_ring, state.poly_nvert)
+    cents_p = state.poly_feat[1:3].T
+    areas_p = state.poly_feat[0]
+    perim_p = state.poly_feat[3]
+    bounds_p = state.poly_feat[4:8].T
 
     seg_mid = 0.5 * (state.seg[:, 0] + state.seg[:, 1])
     seg_len = jnp.linalg.norm(state.seg[:, 1] - state.seg[:, 0], axis=-1)
