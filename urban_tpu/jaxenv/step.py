@@ -39,7 +39,7 @@ from urban_tpu.jaxenv.state import EnvSpec, PlanState
 
 EPS = 1e-4
 MERGE_TOL = 1e-6
-MAX_NEW_PTS = 12
+MAX_NEW_PTS = 8
 FAILURE_REWARD = -1.0
 
 
