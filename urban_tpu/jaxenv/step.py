@@ -414,7 +414,7 @@ def snap_ring_to_points(ring, nv, pts, pt_alive, tol):
 # land-use placement (reference plan_client.py:681-733)
 # ---------------------------------------------------------------------------
 
-MAX_NEW_SEGS = 12
+MAX_NEW_SEGS = 8
 N_NEW_POLY = 5  # 1 parcel + up to 4 remaining wedges
 
 
@@ -762,7 +762,7 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
     # flatten the survivors into edge records. New polygons (parcel +
     # wedges, the first N_NEW_POLY rows) can border many features; new
     # points/segments have small degree.
-    DEG_POLY, DEG_OTHER = 96, 24
+    DEG_POLY, DEG_OTHER = 64, 24
     row_counts = jnp.sum(touch, axis=1)
     deg_cap = jnp.concatenate([
         jnp.full(N_NEW_POLY, DEG_POLY),
