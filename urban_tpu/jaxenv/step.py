@@ -513,45 +513,85 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
         cand, mode='drop')
 
     # ---- split segments at new intersections ---------------------------
+    # Vectorized multi-split (replaces a MAX_NEW_PTS-long sequential loop):
+    # each alive segment collects the new points on its interior, sorts them
+    # along the segment, and emits the resulting pieces in one pass. Multiple
+    # points on one segment (a parcel carved from the middle of a block
+    # edge) produce the same piece set as sequential splitting.
+    MAX_HIT_SEGS = MAX_NEW_PTS
+    PIECES_PER_SEG = 3
     seg = state.seg
     seg_type = state.seg_type
     seg_alive = state.seg_alive
-    killed_seg = jnp.zeros(spec.NS, bool)
-    split_slots = jnp.full(2 * MAX_NEW_PTS, spec.NS, dtype=jnp.int32)
-    killed_slots = jnp.full(MAX_NEW_PTS, spec.NS, dtype=jnp.int32)
-    for k in range(MAX_NEW_PTS):
-        active = (k < n_new) & ~fail
-        v = new_pts[k]
-        d = jg.point_segment_distance(v, seg[:, 0], seg[:, 1])
-        interior = (jnp.linalg.norm(seg[:, 0] - v, axis=-1) > EPS) & \
-                   (jnp.linalg.norm(seg[:, 1] - v, axis=-1) > EPS)
-        hits = seg_alive & (d < EPS) & interior
-        nhit = jnp.sum(hits)
-        fail = fail | (active & (nhit > 1))
-        do_split = active & (nhit == 1)
-        hi = jnp.argmax(hits)
-        slots, seg_ovf = free_slots(seg_alive, 2)
-        fail = fail | (do_split & seg_ovf)
-        s0, s1 = slots[0], slots[1]
-        sel = lambda new, old: jnp.where(do_split, new, old)
-        seg = seg.at[s0].set(sel(jnp.stack([seg[hi, 0], v]), seg[s0]))
-        seg = seg.at[s1].set(sel(jnp.stack([seg[hi, 1], v]), seg[s1]))
-        seg_type = seg_type.at[s0].set(sel(seg_type[hi], seg_type[s0]))
-        seg_type = seg_type.at[s1].set(sel(seg_type[hi], seg_type[s1]))
-        seg_alive = seg_alive.at[s0].set(jnp.where(do_split, True,
-                                                   seg_alive[s0]))
-        seg_alive = seg_alive.at[s1].set(jnp.where(do_split, True,
-                                                   seg_alive[s1]))
-        seg_alive = seg_alive.at[hi].set(jnp.where(do_split, False,
-                                                   seg_alive[hi]))
-        killed_seg = killed_seg.at[hi].set(jnp.where(do_split, True,
-                                                     killed_seg[hi]))
-        split_slots = split_slots.at[2 * k].set(
-            jnp.where(do_split, s0, spec.NS).astype(jnp.int32))
-        split_slots = split_slots.at[2 * k + 1].set(
-            jnp.where(do_split, s1, spec.NS).astype(jnp.int32))
-        killed_slots = killed_slots.at[k].set(
-            jnp.where(do_split, hi, spec.NS).astype(jnp.int32))
+
+    pt_valid = jnp.arange(MAX_NEW_PTS) < n_new
+    d_hit = jg.point_segment_distance(new_pts[:, None, :], seg[None, :, 0],
+                                      seg[None, :, 1])       # (P, NS)
+    interior = (jnp.linalg.norm(seg[None, :, 0] - new_pts[:, None], axis=-1)
+                > EPS) & \
+               (jnp.linalg.norm(seg[None, :, 1] - new_pts[:, None], axis=-1)
+                > EPS)
+    hits = seg_alive[None, :] & (d_hit < EPS) & interior & pt_valid[:, None]
+    seg_has = jnp.any(hits, axis=0)                           # (NS,)
+    n_hit_segs = jnp.sum(seg_has)
+    fail = fail | (n_hit_segs > MAX_HIT_SEGS)
+
+    hit_idx = rank_compact(seg_has, jnp.arange(spec.NS, dtype=jnp.int32),
+                           MAX_HIT_SEGS).astype(jnp.int32)    # (H,)
+    hit_valid = jnp.arange(MAX_HIT_SEGS) < n_hit_segs
+    hit_a = seg[jnp.clip(hit_idx, 0, spec.NS - 1), 0]         # (H, 2)
+    hit_b = seg[jnp.clip(hit_idx, 0, spec.NS - 1), 1]
+    ab = hit_b - hit_a
+    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-12)
+    # per hit seg: t of each new pt along it (BIG when not on this seg)
+    t = jnp.einsum('pd,hd->hp', new_pts, ab) / denom[:, None] \
+        - jnp.einsum('hd,hd->h', hit_a, ab)[:, None] / denom[:, None]
+    on_this = hits[:, jnp.clip(hit_idx, 0, spec.NS - 1)].T    # (H, P)
+    t = jnp.where(on_this, t, jg.BIG)
+    cnt = jnp.sum(on_this, axis=1)                            # pts per seg
+    fail = fail | jnp.any(hit_valid & (cnt + 1 > PIECES_PER_SEG))
+    t_sorted = jnp.sort(t, axis=1)                            # (H, P)
+    order = jnp.argsort(t, axis=1)
+    pts_sorted = new_pts[order]                               # (H, P, 2)
+
+    # piece endpoints: [a, p_1..p_cnt, b]; piece k spans (e_k, e_{k+1})
+    starts = jnp.concatenate([hit_a[:, None, :],
+                              pts_sorted[:, :PIECES_PER_SEG - 1, :]], axis=1)
+    valid_pt = t_sorted < jg.BIG / 2                          # (H, P)
+    # end of piece k = p_{k+1} if it exists else b
+    next_is_pt = valid_pt[:, :PIECES_PER_SEG - 1]
+    ends = jnp.where(next_is_pt[..., None],
+                     pts_sorted[:, :PIECES_PER_SEG - 1, :],
+                     hit_b[:, None, :])
+    ends = jnp.concatenate([ends, hit_b[:, None, :]], axis=1)
+    piece_valid_s = (jnp.arange(PIECES_PER_SEG)[None, :]
+                     <= cnt[:, None]) & hit_valid[:, None]    # (H, K)
+    new_seg_coords = jnp.stack([starts, ends], axis=2)        # (H, K, 2, 2)
+    new_seg_types = jnp.broadcast_to(
+        seg_type[jnp.clip(hit_idx, 0, spec.NS - 1)][:, None],
+        (MAX_HIT_SEGS, PIECES_PER_SEG))
+
+    # kill parents, allocate and write pieces
+    kill_mask = jnp.zeros(spec.NS, bool).at[
+        jnp.where(hit_valid, hit_idx, spec.NS)].set(True, mode='drop')
+    seg_alive = seg_alive & ~kill_mask
+    flat_valid = piece_valid_s.reshape(-1)
+    n_pieces = jnp.sum(flat_valid)
+    slots, seg_ovf = free_slots(seg_alive, MAX_HIT_SEGS * PIECES_PER_SEG)
+    fail = fail | (seg_ovf & (n_pieces > jnp.sum(~seg_alive)))
+    rankp = jnp.cumsum(flat_valid) - 1
+    widx = jnp.where(flat_valid,
+                     slots[jnp.clip(rankp, 0,
+                                    MAX_HIT_SEGS * PIECES_PER_SEG - 1)],
+                     spec.NS)
+    seg = seg.at[widx].set(new_seg_coords.reshape(-1, 2, 2), mode='drop')
+    seg_type = seg_type.at[widx].set(new_seg_types.reshape(-1), mode='drop')
+    seg_alive = seg_alive.at[widx].set(True, mode='drop')
+    split_slots = jnp.where(
+        jnp.arange(MAX_HIT_SEGS * PIECES_PER_SEG) < n_pieces,
+        slots, spec.NS).astype(jnp.int32)
+    killed_slots = jnp.where(hit_valid, hit_idx, spec.NS).astype(jnp.int32)
+    killed_seg = kill_mask
 
     # ---- new boundaries for uncovered parcel edges ----------------------
     kvp = parcel_r.shape[0]
