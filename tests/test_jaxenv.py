@@ -117,3 +117,35 @@ def test_batched_gae_matches_reference_formula():
             values[:, b], 0.99, 0.95)
         assert np.asarray(adv)[:, b] == pytest.approx(a_np, abs=1e-4)
         assert np.asarray(ret)[:, b] == pytest.approx(r_np, abs=1e-4)
+
+
+@pytest.mark.parametrize('scenario,rmin,rmax', [('dhm', 2.0, 4.5),
+                                                ('hlg_concept', 2.0, 5.0)])
+def test_full_episode_other_scenarios(scenario, rmin, rmax):
+    """DHM and the concept-conditioned HLG also run to completion in the
+    jitted env with plausible terminal rewards (concept_weight exercises the
+    center/axis reward in land_use_stage_reward)."""
+    cfg = Config(scenario, 0, tmp=True)
+    plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
+    spec = build_env_spec(cfg, plc, max_steps=cfg.max_sequence_length)
+    state = build_initial_state(spec, plc)
+    if scenario == 'hlg_concept':
+        assert len(spec.concepts) == 3 and spec.concept_weight == 3.0
+    obs_fn = jax.jit(lambda s: js.build_obs(spec, s))
+    step_fn = jax.jit(lambda s, a: js.env_step(spec, s, a))
+    rng = np.random.default_rng(2)
+    done = False
+    for _ in range(70):
+        obs = obs_fn(state)
+        stage = int(np.asarray(obs[8]).argmax())
+        mask = np.asarray(obs[6] if stage == 0 else obs[7])
+        valid = np.nonzero(mask)[0]
+        assert len(valid) > 0
+        a = int(rng.choice(valid))
+        state, reward, done, info = step_fn(
+            state, jnp.asarray([a if stage == 0 else 0,
+                                a if stage == 1 else 0], dtype=jnp.int32))
+        if bool(done):
+            break
+    assert bool(done) and not bool(info['failure'])
+    assert rmin < float(reward) < rmax
