@@ -21,16 +21,41 @@ def ring_mask(nvert: jnp.ndarray, kv: int) -> jnp.ndarray:
 
 
 def ring_roll_indices(nvert: jnp.ndarray, kv: int) -> jnp.ndarray:
-    """Index of each vertex's ring successor (wrapping at nvert)."""
+    """Index of each vertex's ring successor (wrapping at nvert).
+
+    Only for single-vertex lookups (ring[idx[vi]]); full-ring successor
+    arrays must use ring_next — a (KV,) gather serializes on TPU."""
     idx = jnp.arange(kv) + 1
     return jnp.where(idx >= nvert, 0, idx)
+
+
+def ring_next(x: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
+    """Successor of each ring position along axis 0, wrapping at nvert.
+
+    Gather-free: TPU row gathers execute ~1 row per several cycles
+    (profiled at ~3 ms per 128x256x20 ring-roll in the rollout step);
+    roll+select is a pure elementwise rotation. Positions >= nvert hold
+    rotated garbage — every caller masks with ring_mask."""
+    rolled = jnp.roll(x, -1, axis=0)
+    wrap = jnp.arange(x.shape[0]) == nvert - 1
+    w = wrap.reshape((-1,) + (1,) * (x.ndim - 1))
+    return jnp.where(w, x[0], rolled)
+
+
+def ring_prev(x: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
+    """Predecessor of each ring position along axis 0 (wrap at 0)."""
+    rolled = jnp.roll(x, 1, axis=0)
+    wrap = jnp.arange(x.shape[0]) == 0
+    w = wrap.reshape((-1,) + (1,) * (x.ndim - 1))
+    last = x[jnp.maximum(nvert - 1, 0)]
+    return jnp.where(w, last, rolled)
 
 
 def ring_area(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
     """Unsigned polygon area of a masked ring buffer (KV, 2)."""
     kv = ring.shape[0]
     m = ring_mask(nvert, kv)
-    nxt = ring[ring_roll_indices(nvert, kv)]
+    nxt = ring_next(ring, nvert)
     cross = ring[:, 0] * nxt[:, 1] - nxt[:, 0] * ring[:, 1]
     return 0.5 * jnp.abs(jnp.sum(jnp.where(m, cross, 0.0)))
 
@@ -38,7 +63,7 @@ def ring_area(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
 def ring_signed_area(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
     kv = ring.shape[0]
     m = ring_mask(nvert, kv)
-    nxt = ring[ring_roll_indices(nvert, kv)]
+    nxt = ring_next(ring, nvert)
     cross = ring[:, 0] * nxt[:, 1] - nxt[:, 0] * ring[:, 1]
     return 0.5 * jnp.sum(jnp.where(m, cross, 0.0))
 
@@ -46,7 +71,7 @@ def ring_signed_area(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
 def ring_perimeter(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
     kv = ring.shape[0]
     m = ring_mask(nvert, kv)
-    nxt = ring[ring_roll_indices(nvert, kv)]
+    nxt = ring_next(ring, nvert)
     d = jnp.linalg.norm(nxt - ring, axis=-1)
     return jnp.sum(jnp.where(m, d, 0.0))
 
@@ -55,7 +80,7 @@ def ring_centroid(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
     """Area centroid; falls back to vertex mean for degenerate rings."""
     kv = ring.shape[0]
     m = ring_mask(nvert, kv)
-    nxt = ring[ring_roll_indices(nvert, kv)]
+    nxt = ring_next(ring, nvert)
     cross = ring[:, 0] * nxt[:, 1] - nxt[:, 0] * ring[:, 1]
     cross = jnp.where(m, cross, 0.0)
     a = jnp.sum(cross) / 2.0
@@ -95,7 +120,7 @@ def point_in_ring(p: jnp.ndarray, ring: jnp.ndarray,
     kv = ring.shape[0]
     m = ring_mask(nvert, kv)
     a = ring
-    b = ring[ring_roll_indices(nvert, kv)]
+    b = ring_next(ring, nvert)
     cond = (a[:, 1] > p[1]) != (b[:, 1] > p[1])
     denom = b[:, 1] - a[:, 1]
     xin = a[:, 0] + (p[1] - a[:, 1]) * (b[:, 0] - a[:, 0]) / \
@@ -107,7 +132,7 @@ def point_in_ring(p: jnp.ndarray, ring: jnp.ndarray,
 def ring_segments(ring: jnp.ndarray, nvert: jnp.ndarray):
     """(KV, 2, 2) boundary segments + validity mask."""
     kv = ring.shape[0]
-    nxt = ring[ring_roll_indices(nvert, kv)]
+    nxt = ring_next(ring, nvert)
     return jnp.stack([ring, nxt], axis=1), ring_mask(nvert, kv)
 
 
@@ -128,9 +153,8 @@ def halfplane_clip_ring(ring: jnp.ndarray, nvert: jnp.ndarray,
     nrm = jnp.where(keep_left, nrm, -nrm)
     m = ring_mask(nvert, kv)
     side = jnp.einsum('kd,d->k', ring - a, nrm)
-    nxt_idx = ring_roll_indices(nvert, kv)
-    side_nxt = side[nxt_idx]
-    ring_nxt = ring[nxt_idx]
+    side_nxt = ring_next(side, nvert)
+    ring_nxt = ring_next(ring, nvert)
 
     keep_cur = (side >= -1e-9) & m
     # crossing from inside to outside or outside to inside
@@ -166,10 +190,7 @@ def dedupe_ring(ring: jnp.ndarray, nvert: jnp.ndarray, tol: float = 1e-7):
     """Drop consecutive near-duplicate vertices (masked compaction)."""
     kv = ring.shape[0]
     m = ring_mask(nvert, kv)
-    nxt_idx = ring_roll_indices(nvert, kv)
-    prev_idx = jnp.where(jnp.arange(kv) == 0, jnp.maximum(nvert - 1, 0),
-                         jnp.arange(kv) - 1)
-    dup = jnp.linalg.norm(ring - ring[prev_idx], axis=-1) <= tol
+    dup = jnp.linalg.norm(ring - ring_prev(ring, nvert), axis=-1) <= tol
     keep = m & (~dup | (jnp.arange(kv) == 0))
     counts = keep.astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts

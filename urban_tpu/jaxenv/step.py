@@ -108,29 +108,61 @@ def feature_types(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
 # masks (reference plan_client.py:265-359)
 # ---------------------------------------------------------------------------
 
+def endpoint_lookup(edges: jnp.ndarray, tables: jnp.ndarray):
+    """Per-edge endpoint lookups of per-feature tables without gathers.
+
+    edges (NE, 2) int32, tables (K, NF) float/bool. Returns (v0, v1), each
+    (K, NE) bool. TPU row gathers serialize (~3 ms per 128x2304 bool lookup,
+    profiled); building the endpoint one-hot and contracting on the MXU is
+    ~8x faster, and XLA fuses the one-hot construction into the operand."""
+    n_f = tables.shape[-1]
+    ids = jnp.arange(n_f, dtype=edges.dtype)
+    oh0 = (edges[:, 0:1] == ids).astype(jnp.bfloat16)   # (NE, NF)
+    oh1 = (edges[:, 1:2] == ids).astype(jnp.bfloat16)
+    t16 = tables.astype(jnp.bfloat16)
+    v0 = jnp.einsum('kf,ef->ke', t16, oh0,
+                    preferred_element_type=jnp.float32) > 0.5
+    v1 = jnp.einsum('kf,ef->ke', t16, oh1,
+                    preferred_element_type=jnp.float32) > 0.5
+    return v0, v1
+
+
+def eligible_land_use_polys(spec: EnvSpec, state: PlanState,
+                            land_use_t: jnp.ndarray) -> jnp.ndarray:
+    """(NP,) polys on which land_use_t may be placed (alive feasible blocks
+    meeting the min-area and rule constraints)."""
+    c = _consts(spec)
+    poly_areas = state.poly_feat[0] * spec.cell_edge_length ** 2
+    eligible = state.poly_alive & \
+        (state.poly_type == city_config.FEASIBLE) & \
+        (poly_areas >= c['min_area'][land_use_t])
+    if spec.rule_constraints:
+        eligible = eligible & ~_rule_excluded(spec, state, land_use_t)
+    return eligible
+
+
 def land_use_mask(spec: EnvSpec, state: PlanState,
                   land_use_t: jnp.ndarray) -> jnp.ndarray:
     """(NE,) mask of contiguity edges joining an eligible feasible block
     with an intersection."""
-    c = _consts(spec)
-    poly_areas = state.poly_feat[0] * spec.cell_edge_length ** 2
-    eligible_poly = state.poly_alive & \
-        (state.poly_type == city_config.FEASIBLE) & \
-        (poly_areas >= c['min_area'][land_use_t])
-    if spec.rule_constraints:
-        eligible_poly = eligible_poly & ~_rule_excluded(spec, state, land_use_t)
+    eligible_poly = eligible_land_use_polys(spec, state, land_use_t)
     ok = jnp.concatenate([
         eligible_poly, jnp.zeros(spec.NS, bool), jnp.zeros(spec.NPT, bool)])
     is_pt = jnp.concatenate([
         jnp.zeros(spec.NP, bool), jnp.zeros(spec.NS, bool), state.pt_alive])
-    e0, e1 = state.edge[:, 0], state.edge[:, 1]
-    return state.edge_alive & ((ok[e0] & is_pt[e1]) | (ok[e1] & is_pt[e0]))
+    v0, v1 = endpoint_lookup(state.edge, jnp.stack([ok, is_pt]))
+    return state.edge_alive & ((v0[0] & v1[1]) | (v1[0] & v0[1]))
 
 
 def _rule_excluded(spec: EnvSpec, state: PlanState,
                    land_use_t: jnp.ndarray) -> jnp.ndarray:
     """Feasible polys adjacent to school/hospital per the rule filter
-    (reference plan_client.py:265-287)."""
+    (reference plan_client.py:265-287).
+
+    Adjacency through the incidence matrix: contiguity(A, B) is defined as
+    sharing a registered intersection point (exactly the relation
+    update_contiguity builds edges from), so poly-adjacent-to-avoid reduces
+    to two matvecs instead of per-edge endpoint gathers + scatters."""
     types = feature_types(spec, state)
     is_school = land_use_t == city_config.SCHOOL
     is_hs = land_use_t == city_config.HOSPITAL_S
@@ -144,12 +176,13 @@ def _rule_excluded(spec: EnvSpec, state: PlanState,
                   jnp.zeros_like(types, dtype=bool)))
     alive = feature_alive(spec, state)
     avoid = avoid & alive
-    e0, e1 = state.edge[:, 0], state.edge[:, 1]
-    excluded = jnp.zeros(spec.num_features, bool)
-    hit0 = state.edge_alive & avoid[e1]
-    hit1 = state.edge_alive & avoid[e0]
-    excluded = excluded.at[e0].max(hit0).at[e1].max(hit1)
-    return excluded[:spec.NP]
+    i16 = state.incidence.astype(jnp.bfloat16)
+    avoid_pts = jnp.einsum('fp,f->p', i16, avoid.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32) > 0.5
+    excluded = jnp.einsum('pq,q->p', i16[:spec.NP],
+                          avoid_pts.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32) > 0.5
+    return excluded
 
 
 def road_mask(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
@@ -331,7 +364,7 @@ def ring_shape_metrics(ring, nv):
     m = jg.ring_mask(nv, kv)
     area = jg.ring_area(ring, nv)
     perim = jg.ring_perimeter(ring, nv)
-    nxt = ring[jg.ring_roll_indices(nv, kv)]
+    nxt = jg.ring_next(ring, nv)
     d = nxt - ring
     nd = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
     u = d / nd                                  # (KV,2) candidate directions
@@ -596,7 +629,7 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     # ---- new boundaries for uncovered parcel edges ----------------------
     kvp = parcel_r.shape[0]
     pa = parcel_r
-    pb = parcel_r[jg.ring_roll_indices(parcel_n, kvp)]
+    pb = jg.ring_next(parcel_r, parcel_n)
     pmid = 0.5 * (pa + pb)
     def _near_seg(pts_):
         d = jg.point_segment_distance(pts_[:, None, :], seg[None, :, 0],
@@ -730,12 +763,17 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
     matrix. Slot allocation and row compaction are rank one-hot matmuls
     (rank_compact); no sorts, searchsorted, or large scatters."""
     sentinel = spec.num_features
+    # killed_ids is tiny (<= ~10): edge-kill tests are direct comparisons,
+    # not table gathers (TPU gathers over (NE,) indices serialize)
+    kvalid = killed_ids >= 0
+    e_hit = jnp.any(
+        (state.edge[:, :, None] == killed_ids[None, None, :])
+        & kvalid[None, None, :], axis=(1, 2))
+    edge_alive = state.edge_alive & ~e_hit
+
     killed_mask = jnp.zeros(sentinel + 1, bool)
     killed_mask = killed_mask.at[
-        jnp.where(killed_ids >= 0, killed_ids, sentinel)].set(True,
-                                                              mode='drop')
-    edge_alive = state.edge_alive & ~killed_mask[state.edge[:, 0]] & \
-        ~killed_mask[state.edge[:, 1]]
+        jnp.where(kvalid, killed_ids, sentinel)].set(True, mode='drop')
 
     # ---- incidence maintenance -----------------------------------------
     incidence = state.incidence & ~killed_mask[:sentinel, None]
@@ -780,7 +818,9 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
 
     # ---- contiguity via incidence matmul --------------------------------
     alive = feature_alive(spec, state)
-    rows_now = incidence[row_idx % sentinel]             # refreshed rows
+    # the refreshed incidence rows of the new features are exactly `rows`
+    # (row_idx entries are unique; invalid ids were dropped) — no re-gather
+    rows_now = rows & (new_ids >= 0)[:, None]
     touch = jnp.einsum('np,fp->nf', rows_now.astype(jnp.bfloat16),
                        incidence.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32) > 0.5
@@ -1199,8 +1239,11 @@ def build_obs(spec: EnvSpec, state: PlanState):
     node_mask = alive
 
     pad_node = spec.num_features - 1
-    e_ok = state.edge_alive & alive[state.edge[:, 0]] & \
-        alive[state.edge[:, 1]]
+    # INVARIANT: edge_alive implies both endpoints alive — features die only
+    # through update_contiguity's killed_ids, which prunes their edges in the
+    # same step (asserted by tests/test_jaxenv.py edge-liveness test). The
+    # endpoint re-check would cost two serialized (NE,) gathers per step.
+    e_ok = state.edge_alive
     edges = jnp.where(e_ok[:, None], state.edge, pad_node).astype(jnp.int32)
     edge_mask = e_ok
 
@@ -1319,13 +1362,17 @@ def env_step(spec: EnvSpec, state: PlanState, action: jnp.ndarray,
     reward = jnp.where(lu_done, lu_reward_val, 0.0)
     reward = jnp.where(rd_done, road_reward_val, reward)
 
-    # failure / dead-state checks (reference city.py:447-474)
+    # failure / dead-state checks (reference city.py:447-474).
+    # any(land_use_mask) == any(eligible poly): every alive poly keeps >= 1
+    # alive edge to an intersection (its ring vertices are registered
+    # intersections and update_contiguity links them), so the edge-level
+    # mask is nonempty exactly when an eligible poly exists — the poly-level
+    # test avoids recomputing the per-edge mask a second time per step.
     t_next = pending_land_use_type(spec, nxt)
-    lu_mask_next = land_use_mask(spec, nxt, t_next)
-    no_moves = (stage == 0) & ~jnp.any(lu_mask_next)
-    rd_mask_next = road_mask(spec, nxt)
-    no_road_moves = (stage == 1) & ~jnp.any(rd_mask_next & jnp.concatenate(
-        [jnp.zeros(spec.NP, bool), nxt.seg_alive, jnp.zeros(spec.NPT, bool)]))
+    no_moves = (stage == 0) & \
+        ~jnp.any(eligible_land_use_polys(spec, nxt, t_next))
+    no_road_moves = (stage == 1) & ~jnp.any(
+        nxt.seg_alive & (nxt.seg_type == city_config.BOUNDARY))
     fail = fail | no_moves | no_road_moves
 
     done = lu_done & jnp.asarray(spec.skip_road) | rd_done | fail
