@@ -33,7 +33,7 @@ def main() -> None:
     from urban_tpu.jaxenv.step import build_obs
     from urban_tpu.models.model import create_model
 
-    B = int(os.environ.get('BENCH_NUM_ENVS', 128))
+    B = int(os.environ.get('BENCH_NUM_ENVS', 256))
     T = int(os.environ.get('BENCH_NUM_STEPS', 30))
 
     cfg = Config('hlg', 0, tmp=True)

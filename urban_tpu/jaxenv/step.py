@@ -697,24 +697,25 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
         plan_count=plan_count, land_use_steps=state.land_use_steps + 1)
 
     # ---- contiguity update ---------------------------------------------
-    # new features: parcel, valid pieces, new points, split halves, new
-    # boundaries (invalid entries are -1)
-    new_feature_ids = jnp.concatenate([
+    # new features by kind: parcel + valid pieces (polys), new points,
+    # split halves + new boundaries (segments); invalid entries are -1
+    new_poly_ids = jnp.concatenate([
         jnp.array([parcel_slot], dtype=jnp.int32),
-        jnp.where(piece_valid, piece_slots, -1).astype(jnp.int32),
-        jnp.where(jnp.arange(MAX_NEW_PTS) < n_new,
-                  pt_slots + spec.NP + spec.NS, -1).astype(jnp.int32),
+        jnp.where(piece_valid, piece_slots, -1).astype(jnp.int32)])
+    new_pt_ids = jnp.where(jnp.arange(MAX_NEW_PTS) < n_new,
+                           pt_slots + spec.NP + spec.NS, -1).astype(jnp.int32)
+    new_seg_ids = jnp.concatenate([
         jnp.where(split_slots < spec.NS, split_slots + spec.NP, -1
                   ).astype(jnp.int32),
         jnp.where(jnp.arange(MAX_NEW_SEGS) < n_need,
-                  b_slots + spec.NP, -1).astype(jnp.int32),
-    ])
+                  b_slots + spec.NP, -1).astype(jnp.int32)])
     killed_feats = jnp.concatenate([
         jnp.array([p], dtype=jnp.int32),
         jnp.where(killed_slots < spec.NS, killed_slots + spec.NP, -1
                   ).astype(jnp.int32),
     ])
-    interim = update_contiguity(spec, interim, new_feature_ids, killed_feats)
+    interim = update_contiguity(spec, interim, new_poly_ids, new_pt_ids,
+                                new_seg_ids, killed_feats)
     fail = fail | interim.failure
 
     next_state = interim.replace(failure=jnp.asarray(False))
@@ -728,30 +729,9 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
 N_CANDIDATES = 128
 
 
-def feature_segments_padded(spec: EnvSpec, state: PlanState, f: jnp.ndarray):
-    """Segments of one feature padded to (KV, 2, 2) with a validity mask.
-
-    f may be -1 (invalid): mask comes out all-False."""
-    kv = spec.KV
-    f_p = jnp.clip(f, 0, spec.NP - 1)
-    segs_p, m_p = jg.ring_segments(state.poly_ring[f_p],
-                                   state.poly_nvert[f_p])
-    f_s = jnp.clip(f - spec.NP, 0, spec.NS - 1)
-    seg1 = state.seg[f_s]
-    f_t = jnp.clip(f - spec.NP - spec.NS, 0, spec.NPT - 1)
-    pnt = state.pt[f_t]
-    is_poly = (f >= 0) & (f < spec.NP)
-    is_seg = (f >= spec.NP) & (f < spec.NP + spec.NS)
-    is_pt = f >= spec.NP + spec.NS
-    row0 = jnp.where(is_seg, seg1, jnp.stack([pnt, pnt]))
-    out = jnp.where(is_poly, segs_p,
-                    jnp.zeros_like(segs_p).at[0].set(row0))
-    first = jnp.arange(kv) == 0
-    valid = jnp.where(is_poly, m_p, first & (is_seg | is_pt))
-    return out, valid
-
-
-def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
+def update_contiguity(spec: EnvSpec, state: PlanState,
+                      new_poly_ids: jnp.ndarray, new_pt_ids: jnp.ndarray,
+                      new_seg_ids: jnp.ndarray,
                       killed_ids: jnp.ndarray) -> PlanState:
     """Maintain the feature-point incidence matrix and the contiguity edge
     table after a placement.
@@ -761,7 +741,13 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
     registered intersection point, so contiguity(A, B) reduces to
     ``any(I[A] & I[B])`` — computed as one MXU matmul over the incidence
     matrix. Slot allocation and row compaction are rank one-hot matmuls
-    (rank_compact); no sorts, searchsorted, or large scatters."""
+    (rank_compact); no sorts, searchsorted, or large scatters.
+
+    New features arrive as three kind-specific id groups (global feature
+    ids, -1 = invalid slot) so incidence rows cost what each kind needs:
+    polygons test all KV ring segments against the point table, segments
+    one segment, points a point-to-point distance — computing the padded
+    KV-segment form for all 45 candidates was ~4 ms/step of the profile."""
     sentinel = spec.num_features
     # killed_ids is tiny (<= ~10): edge-kill tests are direct comparisons,
     # not table gathers (TPU gathers over (NE,) indices serialize)
@@ -778,16 +764,37 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
     # ---- incidence maintenance -----------------------------------------
     incidence = state.incidence & ~killed_mask[:sentinel, None]
 
-    # rows for new features: a feature touches point p when p lies on one of
-    # its segments (a point feature's degenerate segment covers equality)
+    new_ids = jnp.concatenate([new_poly_ids, new_pt_ids, new_seg_ids])
     n_new = new_ids.shape[0]
-    new_segs, new_masks = jax.vmap(
-        lambda f: feature_segments_padded(spec, state, f))(new_ids)
-    d_rows = jg.point_segment_distance(
-        state.pt[None, None, :, :], new_segs[:, :, None, 0, :],
-        new_segs[:, :, None, 1, :])                      # (n_new, KV, NPT)
-    d_rows = jnp.where(new_masks[:, :, None], d_rows, jg.BIG)
-    rows = (d_rows.min(axis=1) <= 10 * MERGE_TOL) & state.pt_alive[None, :]
+    n_poly = new_poly_ids.shape[0]
+    n_pts = new_pt_ids.shape[0]
+
+    # rows for new features: a feature touches point p when p lies on one of
+    # its segments (kind-specific; a point feature touches coincident points)
+    tol = 10 * MERGE_TOL
+    p_rings = state.poly_ring[jnp.clip(new_poly_ids, 0, spec.NP - 1)]
+    p_nv = state.poly_nvert[jnp.clip(new_poly_ids, 0, spec.NP - 1)]
+    p_segs, p_m = jax.vmap(jg.ring_segments)(p_rings, p_nv)
+    d_poly = jg.point_segment_distance(
+        state.pt[None, None, :, :], p_segs[:, :, None, 0, :],
+        p_segs[:, :, None, 1, :])                        # (n_poly, KV, NPT)
+    d_poly = jnp.where(p_m[:, :, None], d_poly, jg.BIG)
+    rows_poly = d_poly.min(axis=1) <= tol
+
+    new_pt_xy = state.pt[jnp.clip(new_pt_ids - spec.NP - spec.NS, 0,
+                                  spec.NPT - 1)]          # (n_pts, 2)
+    d_pt = jnp.linalg.norm(new_pt_xy[:, None, :] - state.pt[None, :, :],
+                           axis=-1)                       # (n_pts, NPT)
+    rows_pt = d_pt <= tol
+
+    s_seg = state.seg[jnp.clip(new_seg_ids - spec.NP, 0, spec.NS - 1)]
+    d_seg = jg.point_segment_distance(
+        state.pt[None, :, :], s_seg[:, None, 0, :],
+        s_seg[:, None, 1, :])                             # (n_segs, NPT)
+    rows_seg = d_seg <= tol
+
+    rows = jnp.concatenate([rows_poly, rows_pt, rows_seg]) \
+        & state.pt_alive[None, :]
     row_idx = jnp.where(new_ids >= 0, new_ids, sentinel)
     incidence = incidence.at[row_idx].set(rows, mode='drop',
                                           unique_indices=True)
@@ -795,21 +802,19 @@ def update_contiguity(spec: EnvSpec, state: PlanState, new_ids: jnp.ndarray,
     # columns for new points against OLD alive polygons: a new point landing
     # on a neighbouring polygon's boundary makes them contiguous even though
     # the neighbour predates this step
-    is_new_pt = (new_ids >= spec.NP + spec.NS)
-    new_pt_xy = state.pt[jnp.clip(new_ids - spec.NP - spec.NS, 0,
-                                  spec.NPT - 1)]          # (n_new, 2)
+    is_new_pt = new_pt_ids >= 0
     poly_segs, poly_m = jax.vmap(jg.ring_segments)(state.poly_ring,
                                                    state.poly_nvert)
     poly_m = poly_m & state.poly_alive[:, None]
     d_cols = jg.point_segment_distance(
         new_pt_xy[:, None, None, :], poly_segs[None, :, :, 0, :],
-        poly_segs[None, :, :, 1, :])                     # (n_new, NP, KV)
+        poly_segs[None, :, :, 1, :])                     # (n_pts, NP, KV)
     d_cols = jnp.where(poly_m[None, :, :], d_cols, jg.BIG)
-    on_poly = (d_cols.min(axis=2) <= 10 * MERGE_TOL) & is_new_pt[:, None]
+    on_poly = (d_cols.min(axis=2) <= tol) & is_new_pt[:, None]
     # scatter per-column OR: incidence[:NP, k] |= on_poly[j, :] for new pt k
-    col_idx = jnp.where(is_new_pt, new_ids - spec.NP - spec.NS, spec.NPT)
+    col_idx = jnp.where(is_new_pt, new_pt_ids - spec.NP - spec.NS, spec.NPT)
     col_onehot = (col_idx[:, None] == jnp.arange(spec.NPT)[None, :]) & \
-        is_new_pt[:, None]                               # (n_new, NPT)
+        is_new_pt[:, None]                               # (n_pts, NPT)
     add_cols = jnp.einsum('jp,jk->pk', on_poly.astype(jnp.float32),
                           col_onehot.astype(jnp.float32),
                           preferred_element_type=jnp.float32,

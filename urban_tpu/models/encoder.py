@@ -121,12 +121,13 @@ def _scatter_to_nodes_matmul(h_edges, edges, edge_mask, num_nodes,
     oh0, oh1 = one_hots
     em = edge_mask[..., None].astype(jnp.bfloat16)
     m16 = jnp.maximum(oh0, oh1) * em       # self-loop edges count once
-    sums = jnp.einsum('...en,...ed->...nd', m16,
-                      h_edges.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-    counts = jnp.einsum('...en,...e->...n', m16,
-                        jnp.ones(m16.shape[:-1], jnp.bfloat16),
-                        preferred_element_type=jnp.float32)[..., None]
+    # degree counts ride the same matmul as an appended ones column (a
+    # separate masked reduce over the (E, N) one-hot costs ~1.3 ms/step)
+    ones = jnp.ones(h_edges.shape[:-1] + (1,), jnp.bfloat16)
+    he = jnp.concatenate([h_edges.astype(jnp.bfloat16), ones], axis=-1)
+    out = jnp.einsum('...en,...ed->...nd', m16, he,
+                     preferred_element_type=jnp.float32)
+    sums, counts = out[..., :-1], out[..., -1:]
     return sums / (counts + EPSILON)
 
 
