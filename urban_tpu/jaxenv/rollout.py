@@ -173,13 +173,18 @@ def rollout_bench(spec: EnvSpec, model, params, init_state: PlanState,
 
 @jax.jit
 def episode_success_weights(dones: jnp.ndarray, failures: jnp.ndarray,
-                            rewards: jnp.ndarray) -> jnp.ndarray:
+                            rewards: jnp.ndarray = None) -> jnp.ndarray:
     """(T, B) weight: 1 for steps of successful episodes, else 0.
 
     Mirrors the reference filter: episodes terminating with FAILURE or
-    INTERMEDIATE reward are excluded (urban_planning_agent.py:75-86);
-    truncated (never-terminated) trailing segments are also excluded."""
-    success_at_end = dones & ~failures & (rewards > 0.0)
+    INTERMEDIATE reward are excluded (urban_planning_agent.py:75-86).
+    Success is the explicit done-without-failure flag — a reward-sign test
+    would misclassify a legitimate terminal reward of exactly 0 (the
+    reference tests reward != FAILURE_REWARD, not reward > 0); truncation
+    (ending mid-episode, the INTERMEDIATE case) is the backward pass's
+    zero init on never-terminated trailing segments. The rewards argument
+    is accepted for backward compatibility and unused."""
+    success_at_end = dones & ~failures
 
     def back(carry, x):
         done_t, succ_t = x

@@ -23,6 +23,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = 'dp') -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f'requested a {n_devices}-device mesh but only '
+                f'{len(devices)} devices are visible; force a virtual CPU '
+                f'mesh with xla_force_host_platform_device_count (see '
+                f'tests/conftest.py) or lower n_devices')
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 
@@ -43,19 +49,24 @@ def replicate(mesh: Mesh, tree):
 
 def make_dp_ppo_update(model, optimizer, ppo_cfg, mesh: Mesh,
                        axis: str = 'dp'):
-    """Data-parallel PPO minibatch step: per-device local gradients,
-    psum-averaged over ICI, identical optimizer step everywhere."""
+    """Data-parallel PPO minibatch step.
+
+    ppo_loss psums the weighted loss numerators and weight counts across
+    the dp axis before dividing (axis_name), so per-row weighting equals
+    the single-device global computation even when exploration-row counts
+    differ across shards; the loss is then the global objective, and its
+    full gradient is the psum of each shard's local-data gradient."""
     from urban_tpu.rl.ppo import ppo_loss
     from jax.experimental.shard_map import shard_map
 
     def local_step(params, opt_state, obs, actions, returns, advantages,
-                   fixed_log_probs, exps):
+                   fixed_log_probs, exps, valid):
         grad_fn = jax.value_and_grad(
             lambda p: ppo_loss(model, p, obs, actions, returns, advantages,
-                               fixed_log_probs, exps, ppo_cfg), has_aux=True)
+                               fixed_log_probs, exps, ppo_cfg, valid,
+                               axis_name=axis), has_aux=True)
         (_, stats), grads = grad_fn(params)
-        grads = jax.lax.pmean(grads, axis)
-        stats = jax.lax.pmean(stats, axis)
+        grads = jax.lax.psum(grads, axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, stats
@@ -64,7 +75,7 @@ def make_dp_ppo_update(model, optimizer, ppo_cfg, mesh: Mesh,
     sharded = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(), obs_spec, P(axis), P(axis), P(axis), P(axis),
-                  P(axis)),
+                  P(axis), P(axis)),
         out_specs=(P(), P(), P()),
         check_rep=False)
     return jax.jit(sharded)

@@ -42,39 +42,67 @@ def make_optimizer(cfg: PPOConfig) -> optax.GradientTransformation:
 
 
 def ppo_loss(model, params, obs, actions, returns, advantages,
-             fixed_log_probs, exps, cfg: PPOConfig):
+             fixed_log_probs, exps, cfg: PPOConfig, valid=None,
+             axis_name=None):
     """Masked PPO loss on a minibatch.
 
     exps weights the surrogate/entropy terms (reference applies them only to
-    exploration rows, agent_ppo.py:48-55 / urban_planning_agent.py:363-371);
-    the value loss uses every row (agent_pg.py:19-23)."""
+    exploration rows, agent_ppo.py:48-55 / urban_planning_agent.py:363-371).
+    valid weights the value loss: the reference never puts failed-episode or
+    truncated-tail rows into memory at all (urban_planning_agent.py:75-86),
+    so those rows must not train the value net either; pass the episode
+    success weights (rollout.episode_success_weights). Defaults to all rows.
+
+    With axis_name set (data-parallel shard_map), the weighted numerators
+    and weight sums are psum'd across the axis BEFORE dividing, so per-row
+    weighting matches the single-device global computation exactly (a
+    mean-of-per-shard-means would skew rows on shards with fewer
+    exploration rows)."""
     log_probs, entropy, values = model.apply(
         params, obs, actions, method='log_prob_entropy_value')
-    value_loss = jnp.mean((values - returns) ** 2)
 
+    w = exps.reshape(-1)
+    v_w = jnp.ones_like(w) if valid is None else valid.reshape(-1)
     ratio = jnp.exp(log_probs - fixed_log_probs)
     surr1 = ratio * advantages
     surr2 = jnp.clip(ratio, 1.0 - cfg.clip_epsilon,
                      1.0 + cfg.clip_epsilon) * advantages
-    w = exps.reshape(-1)
-    wsum = jnp.maximum(w.sum(), 1.0)
-    surr_loss = -(jnp.minimum(surr1, surr2).reshape(-1) * w).sum() / wsum
-    entropy_loss = -(entropy.reshape(-1) * w).sum() / wsum
+
+    val_num = (v_w * ((values - returns) ** 2).reshape(-1)).sum()
+    surr_num = -(jnp.minimum(surr1, surr2).reshape(-1) * w).sum()
+    ent_num = -(entropy.reshape(-1) * w).sum()
+    wsum = w.sum()
+    vsum = v_w.sum()
+    if axis_name is not None:
+        # psum only the (param-independent) weight counts: the local loss is
+        # then this shard's exact contribution to the global weighted mean,
+        # so psum'ing the resulting gradients reproduces the single-device
+        # global gradient. (psum'ing the numerators instead would double
+        # count through psum's transpose: each shard's grad would already
+        # carry an n_shards factor.)
+        wsum, vsum = jax.lax.psum((wsum, vsum), axis_name)
+    value_loss = val_num / jnp.maximum(vsum, 1.0)
+    surr_loss = surr_num / jnp.maximum(wsum, 1.0)
+    entropy_loss = ent_num / jnp.maximum(wsum, 1.0)
 
     loss = surr_loss + cfg.value_pred_coef * value_loss \
         + cfg.entropy_coef * entropy_loss
     stats = {'loss': loss, 'value_loss': value_loss, 'surr_loss': surr_loss,
              'entropy_loss': entropy_loss}
+    if axis_name is not None:
+        # report the global loss decomposition
+        stats = jax.lax.psum(jax.lax.stop_gradient(stats), axis_name)
     return loss, stats
 
 
 @partial(jax.jit, static_argnames=('model', 'optimizer', 'cfg'))
 def ppo_update_step(model, optimizer, cfg: PPOConfig, params, opt_state,
-                    obs, actions, returns, advantages, fixed_log_probs, exps):
+                    obs, actions, returns, advantages, fixed_log_probs, exps,
+                    valid=None):
     """One minibatch gradient step."""
     grad_fn = jax.value_and_grad(
         lambda p: ppo_loss(model, p, obs, actions, returns, advantages,
-                           fixed_log_probs, exps, cfg), has_aux=True)
+                           fixed_log_probs, exps, cfg, valid), has_aux=True)
     (_, stats), grads = grad_fn(params)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -94,12 +122,14 @@ def fixed_log_probs_and_values(model, params, obs, actions):
                                    'mb_size'))
 def ppo_update_epoch(model, optimizer, cfg: PPOConfig, params, opt_state,
                      obs, actions, returns, advantages, fixed_log_probs,
-                     exps, perm, num_mb: int, mb_size: int):
+                     exps, perm, num_mb: int, mb_size: int, valid=None):
     """One full shuffled epoch of minibatch updates as a single XLA program.
 
     The per-minibatch host dispatch costs ~27 ms on this backend; scanning
     over minibatches inside one jit amortizes it to one call per epoch."""
     idxs = perm[:num_mb * mb_size].reshape(num_mb, mb_size)
+    if valid is None:
+        valid = jnp.ones_like(exps)
 
     def body(carry, idx):
         params, opt_state = carry
@@ -107,7 +137,7 @@ def ppo_update_epoch(model, optimizer, cfg: PPOConfig, params, opt_state,
         grad_fn = jax.value_and_grad(
             lambda p: ppo_loss(model, p, obs_b, actions[idx], returns[idx],
                                advantages[idx], fixed_log_probs[idx],
-                               exps[idx], cfg), has_aux=True)
+                               exps[idx], cfg, valid[idx]), has_aux=True)
         (_, stats), grads = grad_fn(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

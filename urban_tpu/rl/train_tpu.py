@@ -108,7 +108,11 @@ class TPUTrainer:
         returns = returns.reshape(n, 1)
         advantages = advantages.reshape(n, 1)
         fixed_lp = traj.log_probs.reshape(n, 1)
-        # success filter * exploration indicator
+        # success filter * exploration indicator for the surrogate/entropy;
+        # the raw success filter alone for the value loss (reference memory
+        # holds only successful-episode rows — greedy steps included —
+        # urban_planning_agent.py:75-86)
+        valid = weights.reshape(n)
         exps = (traj.exps * weights).reshape(n)
 
         mb = min(self.cfg.mini_batch_size, n)
@@ -122,13 +126,14 @@ class TPUTrainer:
                 self.params, self.opt_state, stats = ppo_update_epoch(
                     self.model, self.optimizer, self.ppo_cfg, self.params,
                     self.opt_state, flat_obs, actions, returns, advantages,
-                    fixed_lp, exps, jnp.asarray(perm), num_mb, mb)
+                    fixed_lp, exps, jnp.asarray(perm), num_mb, mb, valid)
             else:
                 for i in range(num_mb):
                     idx = jnp.asarray(perm[i * mb:(i + 1) * mb])
                     obs_b = tuple(o[idx] for o in flat_obs)
                     args = (obs_b, actions[idx], returns[idx],
-                            advantages[idx], fixed_lp[idx], exps[idx])
+                            advantages[idx], fixed_lp[idx], exps[idx],
+                            valid[idx])
                     self.params, self.opt_state, stats = self.dp_update(
                         self.params, self.opt_state, *args)
         return stats
