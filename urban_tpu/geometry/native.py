@@ -23,16 +23,31 @@ _tried = False
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_LIB) and \
-            os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
+    # Rebuild whenever the source is newer OR a build marker recording the
+    # source mtime is absent: git checkouts do not preserve mtimes, so a
+    # stale (or foreign, e.g. built with different -march) .so from a clone
+    # must never be trusted. The binary is gitignored and always built
+    # locally; -march=native is opt-in via URBAN_TPU_NATIVE_MARCH.
+    marker = _LIB + '.built'
+    src_sig = str(os.path.getmtime(_SRC))
+    if os.path.exists(_LIB) and os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                if f.read().strip() == src_sig:
+                    return _LIB
+        except OSError:
+            pass
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17']
+    march = os.environ.get('URBAN_TPU_NATIVE_MARCH')
+    if march:
+        cmd.append(f'-march={march}')
     try:
-        subprocess.run(
-            ['g++', '-O3', '-march=native', '-shared', '-fPIC', '-std=c++17',
-             _SRC, '-o', _LIB],
-            check=True, capture_output=True)
+        subprocess.run(cmd + [_SRC, '-o', _LIB], check=True,
+                       capture_output=True)
+        with open(marker, 'w') as f:
+            f.write(src_sig)
         return _LIB
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
         return None
 
 

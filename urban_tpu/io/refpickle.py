@@ -33,12 +33,33 @@ class _Stub:
 
 
 class _RefUnpickler(pickle.Unpickler):
-    """Unpickler that stubs out third-party classes and captures payloads."""
+    """Unpickler that stubs out third-party classes and captures payloads.
+
+    Only an explicit whitelist of callables resolves to the real thing —
+    reference pickles are untrusted input, and passing through all of
+    builtins/numpy would hand a crafted pickle builtins.eval/exec via the
+    REDUCE opcode. Everything else becomes an inert _Stub subclass."""
 
     _SHAPELY_PREFIX = 'shapely.geometry'
 
+    _ALLOWED = {
+        ('builtins', 'list'), ('builtins', 'dict'), ('builtins', 'set'),
+        ('builtins', 'tuple'), ('builtins', 'frozenset'),
+        ('builtins', 'bytearray'), ('builtins', 'complex'),
+        ('builtins', 'slice'), ('builtins', 'range'),
+        ('numpy', 'ndarray'), ('numpy', 'dtype'),
+        ('numpy', 'bool_'), ('numpy', 'int8'), ('numpy', 'int16'),
+        ('numpy', 'int32'), ('numpy', 'int64'), ('numpy', 'uint8'),
+        ('numpy', 'uint16'), ('numpy', 'uint32'), ('numpy', 'uint64'),
+        ('numpy', 'float16'), ('numpy', 'float32'), ('numpy', 'float64'),
+        ('numpy.core.multiarray', '_reconstruct'),
+        ('numpy.core.multiarray', 'scalar'),
+        ('numpy._core.multiarray', '_reconstruct'),
+        ('numpy._core.multiarray', 'scalar'),
+    }
+
     def find_class(self, module, name):
-        if module.startswith('numpy') or module == 'builtins':
+        if (module, name) in self._ALLOWED:
             return super().find_class(module, name)
         key = f'{module}.{name}'
         if key == 'pandas._libs.internals._unpickle_block':

@@ -171,6 +171,40 @@ def rollout_bench(spec: EnvSpec, model, params, init_state: PlanState,
     return state, n_eps, n_fail, reward_sum
 
 
+@partial(jax.jit, static_argnames=('spec', 'model', 'num_steps'))
+def eval_rollout(spec: EnvSpec, model, params, start_state: PlanState,
+                 rng: jnp.ndarray, num_steps: int):
+    """Greedy evaluation episodes: B fresh envs stepped with mean actions
+    and FROZEN once done (no auto-reset), so the terminal plan states
+    survive for scoring/export (reference greedy eval episode,
+    urban_planning_agent.py:402-467).
+
+    Returns (final_states, total_reward (B,), done (B,), failure (B,))."""
+    batch_obs, batch_step = make_batch_fns(spec)
+    B = start_state.stage.shape[0]
+
+    def body(carry, step_rng):
+        state, acc = carry
+        obs = batch_obs(state)
+        action, _, _ = model.apply(params, obs, step_rng,
+                                   jnp.ones(B, bool),
+                                   method='sample_action_logp_value')
+        nxt, r, d, info = batch_step(state, action)
+        nxt, r = apply_stage_rewards(spec, nxt, r, info)
+        frozen = state.done
+        nxt = jax.tree.map(
+            lambda old, new: jnp.where(
+                frozen.reshape((-1,) + (1,) * (new.ndim - 1)), old, new),
+            state, nxt)
+        acc = acc + jnp.where(frozen, 0.0, r)
+        return (nxt, acc), None
+
+    rngs = jax.random.split(rng, num_steps)
+    (final_state, total_r), _ = jax.lax.scan(body, (start_state,
+                                                    jnp.zeros(B)), rngs)
+    return final_state, total_r, final_state.done, final_state.failure
+
+
 @jax.jit
 def episode_success_weights(dones: jnp.ndarray, failures: jnp.ndarray,
                             rewards: jnp.ndarray = None) -> jnp.ndarray:

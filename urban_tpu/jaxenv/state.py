@@ -210,6 +210,57 @@ def build_env_spec(cfg, plc: PlanClient, max_steps: int = 60,
     )
 
 
+def state_to_table(spec: EnvSpec, state: PlanState):
+    """Host-side export of one env's slot state to the host engine's
+    GeoTable — for scoring via CityEnv.load_plan/score_plan, best-plan
+    checkpoint payloads, and the two-phase land-use freeze (reference
+    snapshots the GeoDataFrame, plan_client.py:229-232)."""
+    import numpy as np
+    from urban_tpu.envs.plan_table import GeoTable
+    from urban_tpu.geometry.base import Geometry, POINT, LINE, POLY
+
+    poly_ring = np.asarray(state.poly_ring)
+    poly_nvert = np.asarray(state.poly_nvert)
+    poly_type = np.asarray(state.poly_type)
+    poly_alive = np.asarray(state.poly_alive)
+    rect = np.asarray(state.poly_rect)
+    eqi = np.asarray(state.poly_eqi)
+    sc = np.asarray(state.poly_sc)
+    seg = np.asarray(state.seg)
+    seg_type = np.asarray(state.seg_type)
+    seg_alive = np.asarray(state.seg_alive)
+    pt = np.asarray(state.pt)
+    pt_alive = np.asarray(state.pt_alive)
+
+    ids, types, geoms, rects, eqis, scs = [], [], [], [], [], []
+    nid = 0
+    for i in range(spec.NP):
+        if not poly_alive[i]:
+            continue
+        ids.append(nid); nid += 1
+        types.append(int(poly_type[i]))
+        geoms.append(Geometry(POLY, poly_ring[i, :poly_nvert[i]].astype(
+            np.float64)))
+        rects.append(float(rect[i])); eqis.append(float(eqi[i]))
+        scs.append(float(sc[i]))
+    for j in range(spec.NS):
+        if not seg_alive[j]:
+            continue
+        ids.append(nid); nid += 1
+        types.append(int(seg_type[j]))
+        geoms.append(Geometry(LINE, seg[j].astype(np.float64)))
+        rects.append(np.nan); eqis.append(np.nan); scs.append(np.nan)
+    for k in range(spec.NPT):
+        if not pt_alive[k]:
+            continue
+        ids.append(nid); nid += 1
+        types.append(int(city_config.INTERSECTION))
+        geoms.append(Geometry(POINT, pt[k][None, :].astype(np.float64)))
+        rects.append(np.nan); eqis.append(np.nan); scs.append(np.nan)
+    return GeoTable(ids, types, [True] * len(ids), geoms,
+                    rects, eqis, scs)
+
+
 def build_initial_state(spec: EnvSpec, plc: PlanClient) -> PlanState:
     """Pack the scenario's initial plan into slot buffers (host side)."""
     table = plc._init_table

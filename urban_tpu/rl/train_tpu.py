@@ -5,7 +5,12 @@ sampler + single-GPU update (reference: urban_planning/train.py, SURVEY.md
 §2.3): environments are vmapped on device and sharded across the mesh's
 ``dp`` axis, trajectories never leave the chip, GAE runs as a scan, and the
 PPO update consumes the on-device trajectory buffer in jitted minibatch steps
-(psum-averaged gradients under shard_map when the mesh has >1 device).
+(psum'd gradients under shard_map when the mesh has >1 device).
+
+Orchestration matches the reference agent (urban_planning_agent.py:172-246,
+393-400): per-iteration greedy eval, TensorBoard scalars under the reference
+tag names, best-plan payloads in checkpoints, and the two-phase
+land-use -> road curriculum via --separate_train (reference train.py:64-72).
 """
 from __future__ import annotations
 
@@ -13,6 +18,7 @@ import os
 import pickle
 import time
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import jax
@@ -21,8 +27,10 @@ import numpy as np
 
 from urban_tpu.envs.plan_client import PlanClient
 from urban_tpu.jaxenv.rollout import (batched_gae, broadcast_state,
-                                      episode_success_weights, rollout)
-from urban_tpu.jaxenv.state import build_env_spec, build_initial_state
+                                      episode_success_weights, eval_rollout,
+                                      rollout)
+from urban_tpu.jaxenv.state import (build_env_spec, build_initial_state,
+                                    state_to_table)
 from urban_tpu.models.model import create_mlp_model, create_sgnn_model
 from urban_tpu.parallel.mesh import make_dp_ppo_update, make_mesh, replicate, \
     shard_batch
@@ -40,23 +48,46 @@ class TrainStats:
     success_frac: float
     steps_per_sec: float
     update_time: float
+    eval_reward: float = float('nan')
+
+
+@partial(jax.jit, static_argnames=('spec',))
+def _reward_channels(spec, states):
+    """Per-env raw reward channels of (batched) terminal states."""
+    from urban_tpu.jaxenv.step import (greenness_reward, life_circle_reward,
+                                       road_network_reward)
+    life = jax.vmap(lambda s: life_circle_reward(spec, s))(states)
+    green = jax.vmap(lambda s: greenness_reward(spec, s))(states)
+    road = jax.vmap(lambda s: road_network_reward(spec, s))(states)
+    return life, green, road
 
 
 class TPUTrainer:
 
     def __init__(self, cfg: Config, num_envs: Optional[int] = None,
                  rollout_len: Optional[int] = None, mesh=None,
-                 encoder: str = 'sgnn'):
+                 encoder: str = 'sgnn', eval_envs: int = 16,
+                 use_tensorboard: bool = False):
         self.cfg = cfg
         self.plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
         self.spec = build_env_spec(cfg, self.plc,
                                    max_steps=cfg.max_sequence_length)
         self.init_state = build_initial_state(self.spec, self.plc)
         self.num_envs = num_envs or cfg.rollout_specs.get('num_envs', 256)
-        self.rollout_len = rollout_len or cfg.max_sequence_length
+        # the rollout window must cover a full episode (episodes that span
+        # the window boundary are excluded from training by the success
+        # filter); cfg.train()/finetune() halve max_sequence_length for
+        # reference batch-size parity, so size the window from the original
+        self.rollout_len = rollout_len or getattr(
+            cfg, 'original_max_sequence_length', cfg.max_sequence_length)
+        self.eval_envs = eval_envs
         self.mesh = mesh
         self.logger = create_logger(os.path.join(cfg.log_dir,
                                                  'log_train_tpu.txt'))
+        self.tb = None
+        if use_tensorboard:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(cfg.tb_dir)
 
         # slot-layout observations: nodes = feature slots, edges = edge slots
         cfg.state_encoder_specs = dict(cfg.state_encoder_specs)
@@ -86,6 +117,8 @@ class TPUTrainer:
             self.env_states = shard_batch(self.mesh, self.env_states)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.best_reward = -1000.0
+        self.best_plan_state = None       # single-env PlanState (host)
+        self.start_iteration = 0
 
     # ------------------------------------------------------------------
     def collect(self):
@@ -97,8 +130,7 @@ class TPUTrainer:
 
     def update(self, traj, iteration: int):
         T, B = traj.rewards.shape
-        weights = episode_success_weights(traj.dones, traj.failures,
-                                          traj.rewards)
+        weights = episode_success_weights(traj.dones, traj.failures)
         advantages, returns = batched_gae(traj.rewards, traj.dones,
                                           traj.values, self.cfg.gamma,
                                           self.cfg.tau)
@@ -138,7 +170,49 @@ class TPUTrainer:
                         self.params, self.opt_state, *args)
         return stats
 
-    def train_iteration(self, iteration: int) -> TrainStats:
+    # ------------------------------------------------------------------
+    def eval_agent(self, iteration: int):
+        """Greedy eval episodes; tracks the best plan (reference
+        urban_planning_agent.py:402-467, best-plan tracking :373-400)."""
+        start = broadcast_state(self.init_state, self.eval_envs)
+        self.rng, sub = jax.random.split(self.rng)
+        final, total_r, done, failure = eval_rollout(
+            self.spec, self.model, self.params, start, sub, self.rollout_len)
+        total_r = np.asarray(total_r)
+        done = np.asarray(done)
+        failure = np.asarray(failure)
+        ok = done & ~failure
+        mean_r = float(total_r[ok].mean()) if ok.any() else -1.0
+        life, green, road = _reward_channels(self.spec, final)
+        chans = {'life_circle': float(np.asarray(life)[ok].mean())
+                 if ok.any() else 0.0,
+                 'greenness': float(np.asarray(green)[ok].mean())
+                 if ok.any() else 0.0,
+                 'road_network': float(np.asarray(road)[ok].mean())
+                 if ok.any() else 0.0}
+        if ok.any():
+            best_i = int(np.flatnonzero(ok)[np.argmax(total_r[ok])])
+            if total_r[best_i] > self.best_reward:
+                self.best_reward = float(total_r[best_i])
+                self.best_plan_state = jax.device_get(
+                    jax.tree.map(lambda x: x[best_i], final))
+        if self.tb is not None:
+            self.tb.add_scalar('eval/eval_R_eps_avg', mean_r, iteration)
+            for k, v in chans.items():
+                self.tb.add_scalar(f'eval/eval_R_{k}_eps_avg', v, iteration)
+            self.tb.add_scalar('best_reward/best_reward', self.best_reward,
+                               iteration)
+        return mean_r, chans
+
+    def best_plan_table(self):
+        """Best greedy plan as a host GeoTable (for score_plan / freeze)."""
+        if self.best_plan_state is None:
+            return None
+        return state_to_table(self.spec, self.best_plan_state)
+
+    # ------------------------------------------------------------------
+    def train_iteration(self, iteration: int,
+                        do_eval: bool = True) -> TrainStats:
         t0 = time.time()
         traj = self.collect()
         jax.block_until_ready(traj.rewards)
@@ -146,36 +220,130 @@ class TPUTrainer:
         dones = np.asarray(traj.dones)
         fails = np.asarray(traj.failures)
         rewards = np.asarray(traj.rewards)
-        weights = np.asarray(episode_success_weights(
-            traj.dones, traj.failures, traj.rewards))
+        weights = np.asarray(episode_success_weights(traj.dones,
+                                                     traj.failures))
         term = dones & ~fails
         mean_ep = float(rewards[term].mean()) if term.any() else -1.0
         stats = self.update(traj, iteration)
         jax.block_until_ready(stats['loss'])
         t2 = time.time()
+        eval_r = float('nan')
+        if do_eval:
+            eval_r, _ = self.eval_agent(iteration)
         n_steps = traj.rewards.size
         out = TrainStats(
             iteration=iteration, episodes=int(dones.sum()),
             failures=int(fails.sum()), mean_episode_reward=mean_ep,
             success_frac=float(weights.mean()),
             steps_per_sec=n_steps / max(t1 - t0, 1e-9),
-            update_time=t2 - t1)
+            update_time=t2 - t1, eval_reward=eval_r)
         self.logger.info(
             f'{iteration}\tT_sample {t1 - t0:.2f}\tT_update {t2 - t1:.2f}\t'
             f'steps/s {out.steps_per_sec:.0f}\teps {out.episodes}\t'
-            f'fail {out.failures}\tR_eps {mean_ep:.3f}\t{self.cfg.id}')
-        if mean_ep > self.best_reward:
-            self.best_reward = mean_ep
+            f'fail {out.failures}\tR_eps {mean_ep:.3f}\t'
+            f'R_eval {eval_r:.3f}\tbest {self.best_reward:.3f}\t'
+            f'{self.cfg.id}')
+        if self.tb is not None:
+            self.tb.add_scalar('train/train_R_eps_avg', mean_ep, iteration)
+            for k in ('loss', 'value_loss', 'surr_loss', 'entropy_loss'):
+                self.tb.add_scalar(f'loss/{k}',
+                                   float(np.asarray(stats[k])), iteration)
         return out
 
-    def save_checkpoint(self, iteration: int) -> None:
-        path = os.path.join(self.cfg.model_dir,
-                            f'tpu_iteration_{iteration:04d}.p')
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, iteration: int, tag: str = None) -> None:
+        """Pickle checkpoint incl. the best-plan payload (reference
+        checkpoint dict, urban_planning_agent.py:172-194)."""
+        name = tag or f'tpu_iteration_{iteration:04d}'
+        path = os.path.join(self.cfg.model_dir, f'{name}.p')
         with open(path, 'wb') as f:
             pickle.dump({'params': jax.device_get(self.params),
                          'opt_state': jax.device_get(self.opt_state),
                          'iteration': iteration,
-                         'best_reward': self.best_reward}, f)
+                         'best_reward': self.best_reward,
+                         'best_plan_state': self.best_plan_state}, f)
+        best = os.path.join(self.cfg.model_dir, 'tpu_best.p')
+        import shutil
+        shutil.copyfile(path, best)
+
+    def load_checkpoint(self, path: str,
+                        restore_best_reward: bool = True) -> None:
+        with open(path, 'rb') as f:
+            ckpt = pickle.load(f)
+        self.params = ckpt['params']
+        self.opt_state = ckpt['opt_state']
+        if self.mesh is not None:
+            self.params = replicate(self.mesh, self.params)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+        self.start_iteration = ckpt['iteration'] + 1
+        if restore_best_reward:
+            self.best_reward = ckpt['best_reward']
+            self.best_plan_state = ckpt.get('best_plan_state')
+        else:
+            self.best_reward = -1000.0
+            self.best_plan_state = ckpt.get('best_plan_state')
+
+
+def freeze_land_use_trainer(trainer: TPUTrainer, table) -> TPUTrainer:
+    """Two-phase curriculum for the TPU path: rebuild the trainer's spec and
+    initial state around a frozen land-use plan and switch to road-only
+    training (reference urban_planning_agent.py:214-221 / config.py:71-75).
+    cfg.finetune() must already have been applied."""
+    trainer.plc.freeze_land_use(table)
+    trainer.plc.unplan_all_land_use()
+    trainer.spec = build_env_spec(trainer.cfg, trainer.plc,
+                                  max_steps=trainer.cfg.max_sequence_length)
+    trainer.init_state = build_initial_state(trainer.spec, trainer.plc)
+    trainer.env_states = broadcast_state(
+        trainer.init_state.replace(done=jnp.asarray(True)), trainer.num_envs)
+    if trainer.mesh is not None:
+        trainer.env_states = shard_batch(trainer.mesh, trainer.env_states)
+    trainer.best_reward = -1000.0
+    trainer.best_plan_state = None
+    return trainer
+
+
+def run_training(cfg: Config, iterations: int, num_envs: Optional[int],
+                 separate_train: bool, eval_envs: int = 16,
+                 use_tensorboard: bool = True, rollout_len: int = None,
+                 resume: str = None):
+    """Training driver: single-phase, or the reference's two-phase
+    land-use -> freeze -> road curriculum (reference train.py:64-72)."""
+    if separate_train:
+        cfg.train()
+    trainer = TPUTrainer(cfg, num_envs=num_envs, rollout_len=rollout_len,
+                         eval_envs=eval_envs,
+                         use_tensorboard=use_tensorboard)
+    if resume:
+        trainer.load_checkpoint(resume)
+    for it in range(trainer.start_iteration, iterations):
+        trainer.train_iteration(it)
+        if (it + 1) % cfg.save_model_interval == 0:
+            trainer.save_checkpoint(it)
+    trainer.save_checkpoint(iterations - 1, tag='tpu_phase1_final'
+                            if separate_train else 'tpu_final')
+
+    if separate_train:
+        table = trainer.best_plan_table()
+        if table is None:
+            trainer.logger.info('no successful plan found in phase 1; '
+                                'skipping road phase')
+            return trainer
+        # complete the land-use plan exactly as the env's stage transition
+        # does: leftover feasible space becomes small green
+        from urban_tpu import city_config
+        leftover = table.alive_mask_of(city_config.FEASIBLE)
+        table.types[leftover] = city_config.GREEN_S
+        cfg.finetune()
+        trainer.logger.info(f'phase 2 (road): frozen best plan '
+                            f'reward={trainer.best_reward:.3f}')
+        freeze_land_use_trainer(trainer, table)
+        for it in range(iterations, 2 * iterations):
+            trainer.train_iteration(it)
+            if (it + 1) % cfg.save_model_interval == 0:
+                trainer.save_checkpoint(it)
+        trainer.save_checkpoint(2 * iterations - 1, tag='tpu_phase2_final')
+    return trainer
 
 
 def main():
@@ -183,18 +351,23 @@ def main():
     flags.DEFINE_string('cfg', None, 'Config id.')
     flags.DEFINE_integer('global_seed', 0, 'Seed.')
     flags.DEFINE_integer('num_envs', 0, 'Vectorized envs (0 = cfg default).')
-    flags.DEFINE_integer('iterations', 10, 'Training iterations.')
+    flags.DEFINE_integer('iterations', 10, 'Training iterations per phase.')
+    flags.DEFINE_integer('eval_envs', 16, 'Greedy eval episodes/iteration.')
+    flags.DEFINE_integer('rollout_len', 0,
+                         'Rollout window (0 = episode cap).')
+    flags.DEFINE_bool('separate_train', False,
+                      'Two-phase land-use -> road curriculum.')
+    flags.DEFINE_bool('tensorboard', True, 'Write TensorBoard scalars.')
+    flags.DEFINE_string('resume', '', 'Checkpoint path to resume from.')
     flags.DEFINE_bool('tmp', True, 'Temporary storage.')
     FLAGS = flags.FLAGS
 
     def run(_):
         cfg = Config(FLAGS.cfg, FLAGS.global_seed, FLAGS.tmp)
-        trainer = TPUTrainer(cfg,
-                             num_envs=FLAGS.num_envs or None)
-        for it in range(FLAGS.iterations):
-            trainer.train_iteration(it)
-            if (it + 1) % cfg.save_model_interval == 0:
-                trainer.save_checkpoint(it)
+        run_training(cfg, FLAGS.iterations, FLAGS.num_envs or None,
+                     FLAGS.separate_train, FLAGS.eval_envs,
+                     FLAGS.tensorboard, FLAGS.rollout_len or None,
+                     FLAGS.resume or None)
 
     flags.mark_flags_as_required(['cfg'])
     app.run(run)
@@ -202,25 +375,3 @@ def main():
 
 if __name__ == '__main__':
     main()
-
-
-def freeze_land_use_trainer(trainer: TPUTrainer, table) -> TPUTrainer:
-    """Two-phase curriculum for the TPU path: rebuild the trainer's spec and
-    initial state around a frozen land-use plan and switch to road-only
-    training (reference urban_planning_agent.py:214-221 / config.py:71-75)."""
-    cfg = trainer.cfg
-    cfg.finetune()
-    trainer.plc.freeze_land_use(table)
-    trainer.plc.unplan_all_land_use()
-    from urban_tpu.jaxenv.state import build_env_spec, build_initial_state
-    trainer.spec = build_env_spec(cfg, trainer.plc,
-                                  max_steps=cfg.max_sequence_length)
-    trainer.init_state = build_initial_state(trainer.spec, trainer.plc)
-    from urban_tpu.jaxenv.rollout import broadcast_state
-    import jax.numpy as jnp
-    trainer.env_states = broadcast_state(
-        trainer.init_state.replace(done=jnp.asarray(True)), trainer.num_envs)
-    if trainer.mesh is not None:
-        from urban_tpu.parallel.mesh import shard_batch
-        trainer.env_states = shard_batch(trainer.mesh, trainer.env_states)
-    return trainer
