@@ -114,6 +114,22 @@ def point_segment_distance(p: jnp.ndarray, a: jnp.ndarray,
     return jnp.linalg.norm(p - proj, axis=-1)
 
 
+def segments_cross(p1, p2, a, b, eps: float = 1e-9):
+    """Broadcasted PROPER segment crossing test on (..., 2) arrays.
+
+    True when segments (p1,p2) and (a,b) cross at an interior point of
+    both; touching at endpoints or collinear overlap counts as False (used
+    by the raster face decomposition, where a dangling road endpoint on a
+    walk line must not separate faces — polygonize ignores dangles)."""
+    def cross(u, v):
+        return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+    d1 = cross(b - a, p1 - a)
+    d2 = cross(b - a, p2 - a)
+    d3 = cross(p2 - p1, a - p1)
+    d4 = cross(p2 - p1, b - p1)
+    return (d1 * d2 < -eps) & (d3 * d4 < -eps)
+
+
 def point_in_ring(p: jnp.ndarray, ring: jnp.ndarray,
                   nvert: jnp.ndarray) -> jnp.ndarray:
     """Strict interior test (crossing number), bool."""

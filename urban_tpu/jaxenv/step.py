@@ -24,6 +24,9 @@ DEVIATIONS from the exact host engine (the oracle in urban_tpu/envs):
   * greenness uses polygon-sample coverage instead of exact buffer area
   * shape metrics use ring-edge-direction rectangles instead of the exact
     minimum rotated rectangle (equal for convex parcels)
+  * the road-network large-block penalty counts faces via a raster
+    decomposition on the scenario grid instead of exact polygonize
+    (equal for grid-aligned road networks; tests/test_reward_parity.py)
 """
 from __future__ import annotations
 
@@ -1085,35 +1088,170 @@ def concept_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     return total / len(spec.concepts)
 
 
+def _components_min_label(adj: jnp.ndarray, active: jnp.ndarray):
+    """Connected-component labels (min member index) of an undirected graph.
+
+    Transitive closure by boolean matrix squaring on the MXU — log2(N)
+    matmuls reach any diameter, where fixed-count label propagation would
+    under-merge long chains (a 100-segment road needs 100 propagation
+    rounds but only 7 squarings)."""
+    import math
+    n = adj.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    r = (adj & active[:, None] & active[None, :]) | (eye & active[:, None])
+    iters = max(int(math.ceil(math.log2(max(n, 2)))), 1)
+
+    def body(_, r):
+        r16 = r.astype(jnp.bfloat16)
+        r2 = jnp.einsum('ij,jk->ik', r16, r16,
+                        preferred_element_type=jnp.float32) > 0.5
+        return r | r2
+
+    r = jax.lax.fori_loop(0, iters, body, r)
+    labels = jnp.where(r, jnp.arange(n)[None, :], n).min(axis=1)
+    return jnp.where(active, labels, n)
+
+
+def _large_block_count(spec: EnvSpec, state: PlanState,
+                       is_road: jnp.ndarray) -> jnp.ndarray:
+    """Faces of the road network with bounding box > 800 m, via a raster
+    face decomposition (jit mirror of the host polygonize pass,
+    plan_client.py:866-880 / geometry/graph.py:polygonize).
+
+    Cell centers of the scenario grid are face samples; two 4-adjacent
+    centers share a face iff the straight walk between them crosses no
+    road segment (proper crossing — dangling road tails do not separate
+    faces, matching polygonize). Components that touch the raster border
+    are the unbounded outer region, not faces. Exact for the grid-aligned
+    road networks these scenarios build; sub-cell faces cannot occur
+    (parcels and blocks are at least one cell wide)."""
+    CC = int(spec.grid_cols)
+    RC = int(spec.grid_rows)
+    cell = spec.cell_edge_length
+    seg = state.seg
+    a = seg[:, 0][None, :, :]
+    b = seg[:, 1][None, :, :]
+
+    xs = jnp.arange(CC) + 0.5
+    ys = jnp.arange(RC) + 0.5
+    cx, cy = jnp.meshgrid(xs, ys, indexing='xy')        # (RC, CC)
+    centers = jnp.stack([cx, cy], axis=-1)              # (RC, CC, 2)
+
+    def blocked(p1, p2):
+        # p1, p2: (K, 2) walk endpoints -> (K,) crossing any road
+        hit = jg.segments_cross(p1[:, None, :], p2[:, None, :], a, b)
+        return jnp.any(hit & is_road[None, :], axis=1)
+
+    # rightward and downward walk blockings
+    pr1 = centers[:, :-1].reshape(-1, 2)
+    pr2 = centers[:, 1:].reshape(-1, 2)
+    block_r = blocked(pr1, pr2).reshape(RC, CC - 1)
+    pd1 = centers[:-1].reshape(-1, 2)
+    pd2 = centers[1:].reshape(-1, 2)
+    block_d = blocked(pd1, pd2).reshape(RC - 1, CC)
+
+    ids = jnp.arange(RC * CC).reshape(RC, CC)
+    big = RC * CC
+
+    pass_r = jnp.pad(~block_r, ((0, 0), (0, 1)), constant_values=False)
+    pass_l = jnp.pad(~block_r, ((0, 0), (1, 0)), constant_values=False)
+    pass_d = jnp.pad(~block_d, ((0, 1), (0, 0)), constant_values=False)
+    pass_u = jnp.pad(~block_d, ((1, 0), (0, 0)), constant_values=False)
+
+    def flood(vals, reduce_min, iters):
+        def nbr(v):
+            right = jnp.pad(v[:, 1:], ((0, 0), (0, 1)),
+                            constant_values=big)
+            left = jnp.pad(v[:, :-1], ((0, 0), (1, 0)),
+                           constant_values=big)
+            down = jnp.pad(v[1:], ((0, 1), (0, 0)), constant_values=big)
+            up = jnp.pad(v[:-1], ((1, 0), (0, 0)), constant_values=big)
+            return right, left, down, up
+
+        def body(_, v):
+            r_, l_, d_, u_ = nbr(v)
+            cand = jnp.minimum(
+                jnp.minimum(jnp.where(pass_r, r_, big),
+                            jnp.where(pass_l, l_, big)),
+                jnp.minimum(jnp.where(pass_d, d_, big),
+                            jnp.where(pass_u, u_, big)))
+            return reduce_min(v, cand)
+
+        return jax.lax.fori_loop(0, iters, body, vals)
+
+    iters = 2 * (RC + CC) + 8
+    labels = flood(ids, jnp.minimum, iters)
+
+    # per-face extents: propagate min/max coordinates within equal labels
+    def shift4(x, fill):
+        right = jnp.pad(x[:, 1:], ((0, 0), (0, 1)), constant_values=fill)
+        left = jnp.pad(x[:, :-1], ((0, 0), (1, 0)), constant_values=fill)
+        down = jnp.pad(x[1:], ((0, 1), (0, 0)), constant_values=fill)
+        up = jnp.pad(x[:-1], ((1, 0), (0, 0)), constant_values=fill)
+        return right, left, down, up
+
+    def bbox_flood(vals, combine, fill):
+        lr, ll, ld, lu = shift4(labels, big)
+        same_r = pass_r & (lr == labels)
+        same_l = pass_l & (ll == labels)
+        same_d = pass_d & (ld == labels)
+        same_u = pass_u & (lu == labels)
+
+        def body(_, v):
+            vr, vl, vd, vu = shift4(v, fill)
+            out = v
+            out = combine(out, jnp.where(same_r, vr, out))
+            out = combine(out, jnp.where(same_l, vl, out))
+            out = combine(out, jnp.where(same_d, vd, out))
+            out = combine(out, jnp.where(same_u, vu, out))
+            return out
+
+        return jax.lax.fori_loop(0, iters, body, vals)
+
+    gx = jnp.broadcast_to(jnp.arange(CC)[None, :], (RC, CC)).astype(
+        jnp.float32)
+    gy = jnp.broadcast_to(jnp.arange(RC)[:, None], (RC, CC)).astype(
+        jnp.float32)
+    fbig = float(big)
+    minx = bbox_flood(gx, jnp.minimum, fbig)
+    maxx = bbox_flood(gx, jnp.maximum, -fbig)
+    miny = bbox_flood(gy, jnp.minimum, fbig)
+    maxy = bbox_flood(gy, jnp.maximum, -fbig)
+
+    is_repr = labels == ids
+    touches_border = (minx == 0) | (miny == 0) | (maxx == CC - 1) | \
+        (maxy == RC - 1)
+    # face width/height: cell spans + the bounding road on each side
+    w_m = (maxx - minx + 1.0) * cell
+    h_m = (maxy - miny + 1.0) * cell
+    large = is_repr & ~touches_border & ((w_m > 800.0) | (h_m > 800.0))
+    return jnp.sum(large)
+
+
 def road_network_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     """Road-network quality (plan_client.py:833-887), jit version.
 
-    Connectivity via label propagation on the segment-touch graph; density,
-    dead ends, and short/long penalties on raw segments. DEVIATION: false
-    nodes are not merged before the short/long counts and the large-block
-    polygonize penalty is omitted (counts as 1.0); the exact version lives
-    in the host engine."""
+    Connectivity via transitive closure on the segment-touch graph;
+    short/long penalties on FALSE-NODE-MERGED roads (degree-2 chain
+    contraction, mirroring momepy.remove_false_nodes at reference
+    plan_client.py:858-864); large-block penalty from the raster face
+    decomposition (_large_block_count). Parity with the host engine is
+    asserted by tests/test_reward_parity.py."""
     cell = spec.cell_edge_length
     is_road = state.seg_alive & (state.seg_type == city_config.ROAD)
     seg = state.seg
-    # segment endpoints touching => same component
+    # segment endpoints touching => same node
     end = seg.reshape(-1, 2)                      # (2*NS, 2)
-    end_owner = jnp.repeat(jnp.arange(spec.NS), 2)
     same = jnp.linalg.norm(end[:, None, :] - end[None, :, :],
                            axis=-1) <= MERGE_TOL
     valid_e = jnp.repeat(is_road, 2)
-    adj = jnp.zeros((spec.NS, spec.NS), bool)
     pair = same & valid_e[:, None] & valid_e[None, :]
-    adj = adj.at[end_owner[:, None], end_owner[None, :]].max(pair)
-    labels = jnp.where(is_road, jnp.arange(spec.NS), spec.NS)
 
-    def body(_, lab):
-        neigh = jnp.where(adj, lab[None, :], spec.NS)
-        return jnp.minimum(lab, neigh.min(axis=1))
-
-    labels = jax.lax.fori_loop(0, 32, body, labels)
-    n_comp = jnp.sum(jnp.where(is_road,
-                               labels == jnp.arange(spec.NS), False))
+    # segment-touch adjacency (any endpoint coincidence)
+    pair4 = pair.reshape(spec.NS, 2, spec.NS, 2)
+    adj = jnp.any(pair4, axis=(1, 3))
+    labels = _components_min_label(adj, is_road)
+    n_comp = jnp.sum(is_road & (labels == jnp.arange(spec.NS)))
     connectivity = 1.0 / jnp.maximum(n_comp, 1)
 
     lengths = jnp.linalg.norm(seg[:, 1] - seg[:, 0], axis=-1)
@@ -1121,18 +1259,31 @@ def road_network_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
     density = road_km / (spec.community_area / 1e6)
     density_reward = density / 10.0
 
-    deg = jnp.zeros(2 * spec.NS, jnp.int32) + jnp.sum(pair, axis=1)
-    # a dead end is an endpoint whose multiplicity is 1 (only itself)
+    deg = jnp.sum(pair, axis=1)                   # endpoint multiplicity
     is_dead = valid_e & (deg == 1)
     num_dead = jnp.sum(is_dead)
     dead_end_penalty = 1.0 / (num_dead + 1.0)
 
-    m = lengths * cell
-    num_short = jnp.sum(is_road & (m < 100.0))
-    num_long = jnp.sum(is_road & (m > 600.0))
+    # false-node merging: segments sharing a degree-2 node form one road
+    deg2 = deg == 2
+    chain_pair = pair & deg2[:, None] & deg2[None, :]
+    chain_adj = jnp.any(chain_pair.reshape(spec.NS, 2, spec.NS, 2),
+                        axis=(1, 3)) & ~jnp.eye(spec.NS, dtype=bool)
+    chain_labels = _components_min_label(chain_adj, is_road)
+    onehot = (chain_labels[:, None] == jnp.arange(spec.NS)[None, :]) \
+        & is_road[:, None]
+    merged_len = jnp.einsum('il,i->l', onehot.astype(jnp.float32),
+                            jnp.where(is_road, lengths, 0.0),
+                            preferred_element_type=jnp.float32)
+    is_repr = is_road & (chain_labels == jnp.arange(spec.NS))
+    merged_m = merged_len * cell
+    num_short = jnp.sum(is_repr & (merged_m < 100.0))
+    num_long = jnp.sum(is_repr & (merged_m > 600.0))
     short_penalty = 1.0 / (num_short + 1.0)
     long_penalty = 1.0 / (num_long + 1.0)
-    block_penalty = 1.0
+
+    num_large = _large_block_count(spec, state, is_road)
+    block_penalty = 1.0 / (num_large + 1.0)
 
     return (connectivity + density_reward + dead_end_penalty + short_penalty
             + long_penalty + block_penalty) / 6.0
