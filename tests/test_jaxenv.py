@@ -149,3 +149,32 @@ def test_full_episode_other_scenarios(scenario, rmin, rmax):
             break
     assert bool(done) and not bool(info['failure'])
     assert rmin < float(reward) < rmax
+
+
+def test_edge_liveness_invariant(hlg_setup):
+    """build_obs relies on edge_alive implying both endpoints alive (the
+    per-step endpoint re-check was dropped as two serialized gathers);
+    verify the invariant holds along a full episode."""
+    cfg, plc, spec, state0 = hlg_setup
+    state = state0
+    obs_fn = jax.jit(lambda s: js.build_obs(spec, s))
+    step_fn = jax.jit(lambda s, a: js.env_step(spec, s, a))
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        alive = np.asarray(js.feature_alive(spec, state))
+        edges = np.asarray(state.edge)
+        e_alive = np.asarray(state.edge_alive)
+        assert alive[edges[e_alive, 0]].all()
+        assert alive[edges[e_alive, 1]].all()
+        obs = obs_fn(state)
+        stage = int(np.asarray(obs[8]).argmax())
+        mask = np.asarray(obs[6] if stage == 0 else obs[7])
+        valid = np.nonzero(mask)[0]
+        if len(valid) == 0:
+            break
+        a = int(rng.choice(valid))
+        state, reward, done, info = step_fn(
+            state, jnp.asarray([a if stage == 0 else 0,
+                                a if stage == 1 else 0], dtype=jnp.int32))
+        if bool(done):
+            break

@@ -1,0 +1,180 @@
+"""Host-oracle vs jitted-env divergence harness.
+
+Replays N seeded episodes in lockstep: each step the host engine picks a
+random valid (block, intersection) action, the jitted env takes the edge
+joining the geometrically matching features, and both engines step. Reports
+
+  * mask-count agreement rate (host vs jit action-candidate counts)
+  * action representability (the host's chosen action exists in the jit
+    mask, i.e. the jit plan still contains the same block/intersection)
+  * matched steps before the running stats diverge
+  * terminal-reward deltas for episodes both engines complete in lockstep
+
+Usage: python tools/divergence.py [n_seeds] [scenario]
+Writes DIVERGENCE.md at the repo root when run as a script; the CI wrapper
+(tests/test_lockstep_episode.py::test_divergence_metrics) asserts thresholds
+on a smaller seed set.
+"""
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+logger = logging.getLogger('divergence')
+logger.addHandler(logging.NullHandler())
+logger.propagate = False
+
+
+def replay_episode(cfg, seed: int, max_steps: int = 60):
+    """One lockstep episode; returns a metrics dict."""
+    import jax
+    import jax.numpy as jnp
+    from urban_tpu import city_config
+    from urban_tpu.envs.city import CityEnv
+    from urban_tpu.envs.plan_client import PlanClient
+    from urban_tpu.jaxenv import step as js
+    from urban_tpu.jaxenv.state import build_env_spec, build_initial_state
+    from tests.test_lockstep_episode import (_host_action_identity,
+                                             _jax_matching_edge)
+
+    env = CityEnv(cfg)
+    obs = env.reset()
+    plc = env._plc
+    plc2 = PlanClient(cfg.objectives_plan, cfg.init_plan)
+    spec = build_env_spec(cfg, plc2, max_steps=cfg.max_sequence_length)
+    state = build_initial_state(spec, plc2)
+    step_fn = jax.jit(lambda s, a: js.env_step(spec, s, a))
+
+    rng = np.random.default_rng(seed)
+    m = dict(seed=seed, steps=0, matched_steps=0, mask_agree=0,
+             representable=0, completed_both=False, completed_host=False,
+             reward_host=None, reward_jax=None, reward_delta=None,
+             diverged_at=None)
+    for step in range(max_steps):
+        valid = np.nonzero(obs[6])[0]
+        if len(valid) == 0:
+            break
+        t = js.pending_land_use_type(spec, state)
+        jit_mask = np.asarray(js.land_use_mask(spec, state, t))
+        m['steps'] += 1
+        if int(jit_mask.sum()) == len(valid):
+            m['mask_agree'] += 1
+
+        action = int(rng.choice(valid))
+        centroid, inter_xy = _host_action_identity(plc, action)
+        jax_action, err = _jax_matching_edge(spec, state, centroid,
+                                             inter_xy, t)
+        if jax_action is None:
+            m['diverged_at'] = step
+            break
+        m['representable'] += 1
+
+        obs, r_host, done_host, info_host = env.step(
+            np.array([action, 0], dtype=float), logger)
+        state, r_jax, done_jax, info_jax = step_fn(
+            state, jnp.asarray([jax_action, 0], dtype=jnp.int32))
+        if bool(info_jax['failure']):
+            m['diverged_at'] = step
+            break
+        counts_h = plc.get_plan_ratio_and_count()[1]
+        if not np.array_equal(counts_h, np.asarray(state.plan_count)):
+            m['diverged_at'] = step
+            break
+        m['matched_steps'] += 1
+        if done_host or bool(done_jax):
+            m['completed_host'] = bool(done_host)
+            if done_host and bool(done_jax):
+                m['completed_both'] = True
+                m['reward_host'] = float(r_host)
+                m['reward_jax'] = float(r_jax)
+                m['reward_delta'] = abs(float(r_host) - float(r_jax))
+            break
+    return m
+
+
+def run(n_seeds: int = 50, scenario: str = 'hlg', start_seed: int = 100):
+    from urban_tpu.utils.config import Config
+    results = []
+    for k in range(n_seeds):
+        cfg = Config(scenario, 0, tmp=True)
+        results.append(replay_episode(cfg, start_seed + k))
+        r = results[-1]
+        print(f'seed {r["seed"]}: steps {r["steps"]} matched '
+              f'{r["matched_steps"]} both_done {r["completed_both"]} '
+              f'dR {r["reward_delta"]}')
+    return summarize(results, scenario)
+
+
+def summarize(results, scenario):
+    steps = sum(r['steps'] for r in results)
+    agree = sum(r['mask_agree'] for r in results)
+    rep = sum(r['representable'] for r in results)
+    matched = [r['matched_steps'] for r in results]
+    both = [r for r in results if r['completed_both']]
+    deltas = [r['reward_delta'] for r in both]
+    out = {
+        'scenario': scenario,
+        'episodes': len(results),
+        'total_steps': steps,
+        'mask_count_agreement_rate': agree / max(steps, 1),
+        'action_representable_rate': rep / max(steps, 1),
+        'matched_steps_mean': float(np.mean(matched)),
+        'matched_steps_min': int(np.min(matched)),
+        'full_lockstep_completion_rate': len(both) / max(len(results), 1),
+        'terminal_reward_delta_mean': float(np.mean(deltas)) if deltas
+        else None,
+        'terminal_reward_delta_max': float(np.max(deltas)) if deltas
+        else None,
+    }
+    return out, results
+
+
+def write_report(summary, results, path):
+    lines = [
+        '# DIVERGENCE — host oracle vs jitted TPU env (lockstep replay)',
+        '',
+        'Generated by `python tools/divergence.py`. Each seeded episode is',
+        'replayed action-for-action in both engines (matching actions by',
+        'block-centroid/intersection geometry); metrics quantify how long',
+        'and how closely the jitted fixed-buffer env tracks the exact host',
+        'engine.',
+        '',
+        f'- scenario: **{summary["scenario"]}**, '
+        f'episodes: **{summary["episodes"]}**, '
+        f'steps: **{summary["total_steps"]}**',
+        f'- mask-count agreement rate: '
+        f'**{summary["mask_count_agreement_rate"]:.3f}**',
+        f'- host-action representable in jit mask: '
+        f'**{summary["action_representable_rate"]:.3f}**',
+        f'- matched steps/episode: mean '
+        f'**{summary["matched_steps_mean"]:.1f}**, '
+        f'min **{summary["matched_steps_min"]}**',
+        f'- episodes completing in full lockstep: '
+        f'**{summary["full_lockstep_completion_rate"]:.2f}**',
+        f'- terminal reward |delta| (lockstep completions): mean '
+        f'**{summary["terminal_reward_delta_mean"]}**, max '
+        f'**{summary["terminal_reward_delta_max"]}**',
+        '',
+        '| seed | steps | matched | both done | reward Δ |',
+        '|---|---|---|---|---|',
+    ]
+    for r in results:
+        d = f'{r["reward_delta"]:.4f}' if r['reward_delta'] is not None \
+            else '—'
+        lines.append(f'| {r["seed"]} | {r["steps"]} | {r["matched_steps"]} '
+                     f'| {r["completed_both"]} | {d} |')
+    with open(path, 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+
+
+if __name__ == '__main__':
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    scenario = sys.argv[2] if len(sys.argv) > 2 else 'hlg'
+    summary, results = run(n, scenario)
+    print(json.dumps(summary, indent=2))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    write_report(summary, results, os.path.join(repo_root, 'DIVERGENCE.md'))
