@@ -191,3 +191,40 @@ class GAPolicy:
             logits = np.where(node_mask, logits, logits.min() - 1)
             actions[1] = _masked_choice(logits, road_mask, rng, mean_action)
         return actions
+
+
+def ga_logits_jax(obs, gene):
+    """Jit/vmap-friendly GAPolicy scoring on slot-layout observations.
+
+    Mirrors GAPolicy.select_action's linear gene scoring (reference
+    baseline.py:196-246) for the batched TPU environment: returns
+    (land_use_logits (E,), road_logits (N,)) — the caller masks and
+    argmaxes/samples. Slot layout changes nothing: dead slots are excluded
+    by the masks and zeroed node features."""
+    import jax.numpy as jnp
+    nodes, edges, cur = obs[1], obs[2], obs[3]
+    node_mask, edge_mask = obs[4], obs[5]
+    num_genes = gene.shape[0]
+    half = num_genes // 2 + 1
+
+    f1 = nodes[edges[:, 0]]
+    f2 = nodes[edges[:, 1]]
+    ef = 0.5 * (f1 + f2)
+    xy = nodes[:, city_config.NUM_TYPES + 1:city_config.NUM_TYPES + 3]
+    exy = 0.5 * (xy[edges[:, 0]] + xy[edges[:, 1]])
+    cur_type = jnp.argmax(cur[:city_config.NUM_TYPES + 1])
+    same = node_mask & (jnp.take(nodes, cur_type, axis=1) == 1.0)
+    n_same = jnp.sum(same)
+    d = jnp.linalg.norm(exy[:, None, :] - xy[None, :, :], axis=2)
+    dist_same = jnp.where(
+        n_same > 0,
+        jnp.sum(jnp.where(same[None, :], d, 0.0), axis=1)
+        / jnp.maximum(n_same, 1),
+        0.0)
+    ef = jnp.concatenate([ef, dist_same[:, None]], axis=1)
+    lu_logits = ef @ gene[:half]
+    lu_logits = jnp.where(edge_mask, lu_logits, lu_logits.min() - 1.0)
+
+    rd_logits = nodes @ gene[half:]
+    rd_logits = jnp.where(node_mask, rd_logits, rd_logits.min() - 1.0)
+    return lu_logits, rd_logits

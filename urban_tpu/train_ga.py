@@ -29,6 +29,9 @@ flags.DEFINE_integer('num_parents_mating', 2, 'Parents for mating.')
 flags.DEFINE_integer('init_range_low', -5, 'Gene init low.')
 flags.DEFINE_integer('init_range_high', 5, 'Gene init high.')
 flags.DEFINE_integer('mutation_percent_genes', 10, 'Mutation percentage.')
+flags.DEFINE_bool('tpu_env', True, 'Evaluate the whole population as one '
+                  'vmapped batch on the jitted TPU environment (the host '
+                  'path evaluates genes one greedy episode at a time).')
 
 FLAGS = flags.FLAGS
 
@@ -46,6 +49,21 @@ def main_loop(_):
                                       mean_action=False,
                                       visualize=FLAGS.visualize)
         return fitness
+
+    population_fitness = None
+    if FLAGS.tpu_env and not FLAGS.visualize and not FLAGS.only_road:
+        from urban_tpu.envs.plan_client import PlanClient
+        from urban_tpu.jaxenv.state import (build_env_spec,
+                                            build_initial_state)
+        from urban_tpu.rl.ga import make_ga_population_fitness
+        plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
+        spec = build_env_spec(cfg, plc, max_steps=cfg.max_sequence_length)
+        init_state = build_initial_state(spec, plc)
+        population_fitness = make_ga_population_fitness(
+            spec, init_state,
+            num_steps=getattr(cfg, 'original_max_sequence_length',
+                              cfg.max_sequence_length),
+            mean_action=False, seed=cfg.seed)
 
     def report_func(instance):
         print(f'Generation: {instance.generations_completed}')
@@ -65,7 +83,8 @@ def main_loop(_):
                      mutation_percent_genes=FLAGS.mutation_percent_genes,
                      saturate_generations=10,
                      seed=cfg.seed),
-            fitness_func, on_generation=report_func)
+            fitness_func, on_generation=report_func,
+            population_fitness_func=population_fitness)
     ga.run()
 
     best_solution, best_fitness, _ = ga.best_solution()
