@@ -22,6 +22,8 @@ REFERENCE_STEPS_PER_SEC = 100.0  # 20 workers x ~5 steps/s (BASELINE.md)
 
 
 def main() -> None:
+    from urban_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -37,6 +37,8 @@ FLAGS = flags.FLAGS
 
 
 def main_loop(_):
+    from urban_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     cfg = Config(FLAGS.cfg, FLAGS.global_seed, FLAGS.tmp, FLAGS.root_dir,
                  FLAGS.agent)
     np.random.seed(cfg.seed)

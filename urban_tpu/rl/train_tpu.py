@@ -53,12 +53,21 @@ class TrainStats:
 
 @partial(jax.jit, static_argnames=('spec',))
 def _reward_channels(spec, states):
-    """Per-env raw reward channels of (batched) terminal states."""
+    """Per-env raw reward channels of (batched) terminal states.
+
+    The road channel is only computed on scenarios that actually plan roads
+    (reference: skip_road scenarios report road_network 0.0 in the episode
+    info, city.py:204-234); on skip_road real scenarios the raster face
+    decomposition inside road_network_reward would be built over the full
+    2160x2040 1-meter grid, which must never be instantiated."""
     from urban_tpu.jaxenv.step import (greenness_reward, life_circle_reward,
                                        road_network_reward)
     life = jax.vmap(lambda s: life_circle_reward(spec, s))(states)
     green = jax.vmap(lambda s: greenness_reward(spec, s))(states)
-    road = jax.vmap(lambda s: road_network_reward(spec, s))(states)
+    if spec.skip_road or spec.road_network_weight <= 0:
+        road = jnp.zeros_like(life)
+    else:
+        road = jax.vmap(lambda s: road_network_reward(spec, s))(states)
     return life, green, road
 
 
@@ -347,6 +356,8 @@ def run_training(cfg: Config, iterations: int, num_envs: Optional[int],
 
 
 def main():
+    from urban_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     from absl import app, flags
     flags.DEFINE_string('cfg', None, 'Config id.')
     flags.DEFINE_integer('global_seed', 0, 'Seed.')

@@ -45,6 +45,8 @@ def train_one_iteration(agent: UrbanPlanningAgent, iteration: int) -> None:
 
 
 def main_loop(_):
+    from urban_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     cfg = Config(FLAGS.cfg, FLAGS.global_seed, FLAGS.tmp, FLAGS.root_dir,
                  FLAGS.agent)
     if FLAGS.max_num_iterations > 0:

@@ -37,6 +37,8 @@ FLAGS = flags.FLAGS
 
 
 def main_loop(_):
+    from urban_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     cfg = Config(FLAGS.cfg, FLAGS.global_seed, FLAGS.tmp, FLAGS.root_dir, 'ga')
     np.random.seed(cfg.seed)
     agent = UrbanPlanningAgent(cfg=cfg, num_threads=1, training=False,

