@@ -7,6 +7,7 @@ long as both engines carve near-identical plans the identification holds —
 this test demonstrates multi-step trajectory-level agreement, not just
 single-step parity."""
 import logging
+import os
 
 import numpy as np
 import jax
@@ -102,3 +103,22 @@ def test_lockstep_episode_hlg(seed):
     if done_host and bool(done_jax):
         # terminal rewards agree closely when both complete together
         assert float(r_jax) == pytest.approx(float(r_host), abs=0.25)
+
+
+def test_divergence_metrics():
+    """CI wrapper over tools/divergence.py: asserts the divergence envelope
+    measured by the 50-seed report (DIVERGENCE.md) holds on a small seed
+    set. Thresholds are set from that report with slack: representability
+    is the strong invariant (the host's chosen block/intersection almost
+    always exists in the jit plan); mask-count equality and full lockstep
+    completion are expected to be partial (threshold-crossing slicer
+    differences are by design, see jaxenv/step.py:19-27)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+    from tools.divergence import run
+
+    summary, results = run(n_seeds=4, scenario='hlg', start_seed=100)
+    assert summary['action_representable_rate'] >= 0.85
+    assert summary['matched_steps_mean'] >= 8.0
+    if summary['terminal_reward_delta_max'] is not None:
+        assert summary['terminal_reward_delta_max'] <= 0.3

@@ -84,7 +84,11 @@ import os
 # Edge->node aggregation backend: 'matmul' builds a dense incidence one-hot
 # and aggregates on the MXU (forward AND backward are matmuls — TPU scatters
 # serialize, and their transpose in the PPO backward is the training
-# bottleneck); 'scatter' is the classical scatter-add.
+# bottleneck); 'pallas' is the fused one-hot kernel
+# (ops/pallas/segment_ops.py) that never materializes the (E, N) one-hot —
+# measured on-chip: ~ties XLA 'matmul' at the encoder's production shape,
+# 1.4x faster at large graphs (E=8k, N=4k); 'scatter' is the classical
+# scatter-add (7x slower than either on TPU).
 SCATTER_MODE = os.environ.get('URBAN_TPU_GNN_SCATTER', 'matmul')
 
 
@@ -94,6 +98,16 @@ def scatter_to_nodes(h_edges, edges, edge_mask, num_nodes, one_hots=None):
     if SCATTER_MODE == 'matmul':
         return _scatter_to_nodes_matmul(h_edges, edges, edge_mask, num_nodes,
                                         one_hots)
+    if SCATTER_MODE == 'pallas':
+        from urban_tpu.ops.pallas.segment_ops import \
+            segment_mean_onehot_pallas
+        h = jnp.where(edge_mask[..., None], h_edges, 0.0)
+        batched = h.ndim == 3
+        if not batched:
+            h, edges, edge_mask = (h[None], edges[None], edge_mask[None])
+        out = segment_mean_onehot_pallas(h, edges.astype(jnp.int32),
+                                         edge_mask, num_nodes)
+        return out if batched else out[0]
     d = h_edges.shape[-1]
     counts_src = jnp.where(edge_mask[..., None], 1.0, 0.0)
 

@@ -143,6 +143,18 @@ class TPUTrainer:
         advantages, returns = batched_gae(traj.rewards, traj.dones,
                                           traj.values, self.cfg.gamma,
                                           self.cfg.tau)
+        if self.cfg.agent_specs.get('normalize_advantages', False):
+            # standardize over the rows that actually train (the reference
+            # exposes the same switch, dormant, as estimate_advantages'
+            # normalize_rewards arg, khrylib/rl/core/common.py:5,23-24).
+            # With gamma=1/tau=0 the raw TD-error advantages shrink to
+            # ~1e-2 once the value net fits, leaving the surrogate gradient
+            # orders of magnitude below the entropy bonus; standardizing
+            # restores a scale-free policy gradient.
+            wsum = jnp.maximum(weights.sum(), 1.0)
+            mu = (advantages * weights).sum() / wsum
+            var = (((advantages - mu) ** 2) * weights).sum() / wsum
+            advantages = (advantages - mu) / jnp.sqrt(var + 1e-8)
         n = T * B
         flat_obs = tuple(o.reshape((n,) + o.shape[2:]) for o in traj.obs)
         actions = traj.actions.reshape(n, 2)
@@ -369,12 +381,29 @@ def main():
     flags.DEFINE_bool('separate_train', False,
                       'Two-phase land-use -> road curriculum.')
     flags.DEFINE_bool('tensorboard', True, 'Write TensorBoard scalars.')
+    flags.DEFINE_bool('normalize_advantages', False,
+                      'Standardize advantages over training rows '
+                      '(agent_specs.normalize_advantages; the reference '
+                      'exposes the same dormant switch).')
+    flags.DEFINE_float('tau', -1.0,
+                       'GAE lambda override (<0 = cfg value). The scenario '
+                       'yamls pin the reference tau=0.0 (pure TD); tau '
+                       'near 1 gives Monte-Carlo advantages, better '
+                       'conditioned for the terminal-sparse stage rewards.')
+    flags.DEFINE_float('lr', -1.0, 'Learning-rate override (<0 = cfg).')
     flags.DEFINE_string('resume', '', 'Checkpoint path to resume from.')
     flags.DEFINE_bool('tmp', True, 'Temporary storage.')
     FLAGS = flags.FLAGS
 
     def run(_):
         cfg = Config(FLAGS.cfg, FLAGS.global_seed, FLAGS.tmp)
+        if FLAGS.normalize_advantages:
+            cfg.agent_specs = dict(cfg.agent_specs,
+                                   normalize_advantages=True)
+        if FLAGS.tau >= 0.0:
+            cfg.tau = FLAGS.tau
+        if FLAGS.lr > 0.0:
+            cfg.lr = FLAGS.lr
         run_training(cfg, FLAGS.iterations, FLAGS.num_envs or None,
                      FLAGS.separate_train, FLAGS.eval_envs,
                      FLAGS.tensorboard, FLAGS.rollout_len or None,
