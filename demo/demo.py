@@ -41,7 +41,17 @@ def main() -> None:
             payload = pickle.load(f)
         if isinstance(payload, list):
             payload = payload[0]
-        table = payload['gdf'] if isinstance(payload, dict) else payload
+        if isinstance(payload, dict) and 'best_plan_state' in payload:
+            # TPU-trainer checkpoint (rl/train_tpu.py save_checkpoint):
+            # convert the jitted-env best-plan state to a host GeoTable
+            from urban_tpu.envs.plan_client import PlanClient
+            from urban_tpu.jaxenv.state import build_env_spec, state_to_table
+            plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
+            spec = build_env_spec(cfg, plc,
+                                  max_steps=cfg.max_sequence_length)
+            table = state_to_table(spec, payload['best_plan_state'])
+        else:
+            table = payload['gdf'] if isinstance(payload, dict) else payload
 
     env.load_plan(table)
     env.score_plan(verbose=True)
