@@ -178,3 +178,23 @@ def test_edge_liveness_invariant(hlg_setup):
                                 a if stage == 1 else 0], dtype=jnp.int32))
         if bool(done):
             break
+
+
+def test_normalize_advantages_weighted_stats():
+    """normalize_advantages standardizes over weighted rows only; excluded
+    (failed/truncated) rows cannot skew the statistics."""
+    import numpy as np
+    import jax.numpy as jnp
+    from urban_tpu.jaxenv.rollout import normalize_advantages
+
+    rng = np.random.default_rng(0)
+    adv = jnp.asarray(rng.normal(2.0, 0.03, size=(50, 8)))
+    w = jnp.asarray((rng.random((50, 8)) < 0.7).astype(np.float32))
+    # poison the excluded rows with huge values: must not affect the result
+    adv = adv + (1.0 - w) * 1e6
+    out = np.asarray(normalize_advantages(adv, w))
+    wn = np.asarray(w)
+    mu = (out * wn).sum() / wn.sum()
+    var = (((out - mu) ** 2) * wn).sum() / wn.sum()
+    assert abs(mu) < 1e-4
+    assert abs(var - 1.0) < 1e-3

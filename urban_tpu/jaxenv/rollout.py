@@ -230,6 +230,24 @@ def episode_success_weights(dones: jnp.ndarray, failures: jnp.ndarray,
     return flags[::-1]
 
 
+@jax.jit
+def normalize_advantages(advantages: jnp.ndarray,
+                         weights: jnp.ndarray) -> jnp.ndarray:
+    """Standardize advantages over the rows that actually train
+    (weights > 0). The reference exposes the same dormant switch as
+    estimate_advantages' normalize_rewards arg
+    (khrylib/rl/core/common.py:5,23-24); here the statistics exclude
+    failed-episode and truncated filler rows so they cannot skew the
+    scale. With gamma=1/tau=0 the raw TD-error advantages shrink to
+    ~1e-2 once the value net fits, leaving the surrogate gradient far
+    below the entropy bonus; standardizing restores a scale-free policy
+    gradient."""
+    wsum = jnp.maximum(weights.sum(), 1.0)
+    mu = (advantages * weights).sum() / wsum
+    var = (((advantages - mu) ** 2) * weights).sum() / wsum
+    return (advantages - mu) / jnp.sqrt(var + 1e-8)
+
+
 @partial(jax.jit, static_argnames=('gamma', 'tau'))
 def batched_gae(rewards: jnp.ndarray, dones: jnp.ndarray,
                 values: jnp.ndarray, gamma: float, tau: float):

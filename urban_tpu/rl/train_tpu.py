@@ -144,17 +144,8 @@ class TPUTrainer:
                                           traj.values, self.cfg.gamma,
                                           self.cfg.tau)
         if self.cfg.agent_specs.get('normalize_advantages', False):
-            # standardize over the rows that actually train (the reference
-            # exposes the same switch, dormant, as estimate_advantages'
-            # normalize_rewards arg, khrylib/rl/core/common.py:5,23-24).
-            # With gamma=1/tau=0 the raw TD-error advantages shrink to
-            # ~1e-2 once the value net fits, leaving the surrogate gradient
-            # orders of magnitude below the entropy bonus; standardizing
-            # restores a scale-free policy gradient.
-            wsum = jnp.maximum(weights.sum(), 1.0)
-            mu = (advantages * weights).sum() / wsum
-            var = (((advantages - mu) ** 2) * weights).sum() / wsum
-            advantages = (advantages - mu) / jnp.sqrt(var + 1e-8)
+            from urban_tpu.jaxenv.rollout import normalize_advantages
+            advantages = normalize_advantages(advantages, weights)
         n = T * B
         flat_obs = tuple(o.reshape((n,) + o.shape[2:]) for o in traj.obs)
         actions = traj.actions.reshape(n, 2)
