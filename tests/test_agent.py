@@ -117,3 +117,51 @@ def test_ppo_epoch_matches_stepwise():
                                     advantages[idx], fixed_lp[idx], exps[idx])
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tpu_trainer_two_phase_freeze():
+    """freeze_land_use_trainer must rebuild the model around the regrown
+    slot table (the frozen plan changes the observation width; regression:
+    phase 2 crashed with an einsum shape mismatch when the phase-1 model
+    was kept) and the frozen plan must carry BOUNDARY segments so the road
+    stage has candidates (regression: freezing a post-build_all_road state
+    left an empty road mask and every episode failed — the reference
+    freezes the PRE-conversion snapshot, city.py:461-464)."""
+    import logging
+    import numpy as np
+    from urban_tpu import city_config
+    from urban_tpu.envs.city import CityEnv
+    from urban_tpu.jaxenv import step as js
+    from urban_tpu.rl.train_tpu import TPUTrainer, freeze_land_use_trainer
+    from urban_tpu.utils.config import Config
+    logger = logging.getLogger('test_two_phase')
+
+    cfg = Config('grid', 0, tmp=True)
+    cfg.train()
+    # a few host placements so the plan has BOUNDARY segments, as a real
+    # phase-1 plan does (with keep_boundaries, the phase-1 jit env keeps
+    # them at land-use completion)
+    env = CityEnv(cfg)
+    obs = env.reset()
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        a = int(rng.choice(np.nonzero(obs[6])[0]))
+        obs, _, done, _ = env.step(np.array([a, 0], dtype=float), logger)
+        assert not done
+    table = env.snapshot_land_use()
+    leftover = table.alive_mask_of(city_config.FEASIBLE)
+    table.types[leftover] = city_config.GREEN_S
+
+    tr = TPUTrainer(cfg, num_envs=2, rollout_len=16, eval_envs=2,
+                    keep_boundaries=True)
+    assert tr.spec.keep_boundaries
+    cfg.finetune()
+    freeze_land_use_trainer(tr, table)
+
+    assert int(np.asarray(
+        js.road_mask(tr.spec, tr.init_state)).sum()) > 0
+    assert int(tr.init_state.total_road_steps) > 0
+    stats = tr.train_iteration(0, do_eval=False)
+    n_steps = 16 * 2
+    assert stats.failures < n_steps  # road stage is playable, not all-fail
+    assert tr.cfg.state_encoder_specs['max_num_nodes'] == tr.spec.num_features

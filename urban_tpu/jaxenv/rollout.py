@@ -61,10 +61,25 @@ def make_batch_fns(spec: EnvSpec, defer_rewards: bool = True):
     return batch_obs, batch_step
 
 
+def batched_road_network_reward(spec: EnvSpec, states: PlanState,
+                                batch_size: int = 1) -> jnp.ndarray:
+    """Road reward over a batch of envs via chunked lax.map, NOT vmap.
+
+    road_network_reward's raster face decomposition materializes a
+    (grid_walks x segments) crossing tensor — ~350 MB on the 240x240
+    synthetic grid. Fine per env; under vmap(256) it becomes a 90 GB
+    allocation that can never fit HBM. lax.map serializes chunks of
+    batch_size envs, bounding peak memory at batch_size/B of the vmap
+    cost; the op runs only at stage boundaries, so the serialization is
+    off the hot path."""
+    from urban_tpu.jaxenv.step import road_network_reward
+    return jax.lax.map(lambda s: road_network_reward(spec, s), states,
+                       batch_size=batch_size)
+
+
 def apply_stage_rewards(spec: EnvSpec, states: PlanState, reward, info):
     """Compute stage-boundary rewards only when some env finished."""
-    from urban_tpu.jaxenv.step import (FAILURE_REWARD, land_use_stage_reward,
-                                       road_network_reward)
+    from urban_tpu.jaxenv.step import FAILURE_REWARD, land_use_stage_reward
     B = reward.shape[0]
     lu_done = info['lu_done']
     rd_done = info['rd_done']
@@ -81,8 +96,8 @@ def apply_stage_rewards(spec: EnvSpec, states: PlanState, reward, info):
     if spec.road_network_weight > 0 and not spec.skip_road:
         rd_r = jax.lax.cond(
             jnp.any(rd_done & ~fail),
-            lambda: jax.vmap(lambda s: spec.road_network_weight
-                             * road_network_reward(spec, s))(states),
+            lambda: spec.road_network_weight
+            * batched_road_network_reward(spec, states),
             lambda: jnp.zeros(B))
         reward = jnp.where(rd_done & ~fail, rd_r, reward)
     return states, reward

@@ -129,6 +129,14 @@ class EnvSpec:
     weight_by_area: bool
     # concepts: ((kind, cx, cy, ex, ey, distance, land_use_bitmask), ...)
     concepts: Tuple[Tuple[float, ...], ...] = ()
+    # two-phase training: keep BOUNDARY segments at land-use completion
+    # instead of converting them to roads (build_all_road). The reference
+    # freezes the PRE-conversion snapshot for the road phase
+    # (city.py:461-464 snapshot_land_use before transition_stage; the
+    # conversion happens only in final-info enrichment, city.py:517), so a
+    # phase-1 trainer must set this or its best plans carry no road
+    # candidates for phase 2.
+    keep_boundaries: bool = False
 
     @property
     def num_features(self) -> int:
@@ -151,7 +159,8 @@ def _default_caps(n_poly: int, n_seg: int, n_pt: int,
 
 
 def build_env_spec(cfg, plc: PlanClient, max_steps: int = 60,
-                   caps: Dict[str, int] | None = None) -> EnvSpec:
+                   caps: Dict[str, int] | None = None,
+                   keep_boundaries: bool = False) -> EnvSpec:
     """Derive the static spec from a Config + host PlanClient."""
     table = plc._init_table
     kinds = np.array([g.kind for g in table.geoms])
@@ -200,6 +209,7 @@ def build_env_spec(cfg, plc: PlanClient, max_steps: int = 60,
         rule_constraints=bool(plc._rule_constraints),
         skip_land_use=bool(cfg.skip_land_use),
         skip_road=bool(cfg.skip_road),
+        keep_boundaries=bool(keep_boundaries),
         road_ratio=float(cfg.road_ratio),
         road_network_weight=float(cfg.reward_specs.get('road_network_weight', 1.0)),
         life_circle_weight=float(cfg.reward_specs.get('life_circle_weight', 1.0)),

@@ -1485,10 +1485,17 @@ def env_step(spec: EnvSpec, state: PlanState, action: jnp.ndarray,
     total_road = jnp.floor(boundary_cnt * spec.road_ratio).astype(jnp.int32)
 
     if spec.skip_road:
-        # build_all_road + done
-        seg_type = jnp.where(lu_done & nxt.seg_alive
-                             & (nxt.seg_type == city_config.BOUNDARY),
-                             city_config.ROAD, nxt.seg_type)
+        # build_all_road + done. With keep_boundaries (two-phase phase-1
+        # training) the conversion is suppressed: the reference freezes the
+        # PRE-conversion land-use snapshot for the road phase
+        # (city.py:461-464; build_all_road only at final-info, :517), and a
+        # converted plan would carry no road candidates into phase 2.
+        if spec.keep_boundaries:
+            seg_type = nxt.seg_type
+        else:
+            seg_type = jnp.where(lu_done & nxt.seg_alive
+                                 & (nxt.seg_type == city_config.BOUNDARY),
+                                 city_config.ROAD, nxt.seg_type)
         stage = jnp.where(lu_done, 2, nxt.stage)
         total_road_steps = nxt.total_road_steps
     else:

@@ -60,14 +60,14 @@ def _reward_channels(spec, states):
     info, city.py:204-234); on skip_road real scenarios the raster face
     decomposition inside road_network_reward would be built over the full
     2160x2040 1-meter grid, which must never be instantiated."""
-    from urban_tpu.jaxenv.step import (greenness_reward, life_circle_reward,
-                                       road_network_reward)
+    from urban_tpu.jaxenv.step import greenness_reward, life_circle_reward
     life = jax.vmap(lambda s: life_circle_reward(spec, s))(states)
     green = jax.vmap(lambda s: greenness_reward(spec, s))(states)
     if spec.skip_road or spec.road_network_weight <= 0:
         road = jnp.zeros_like(life)
     else:
-        road = jax.vmap(lambda s: road_network_reward(spec, s))(states)
+        from urban_tpu.jaxenv.rollout import batched_road_network_reward
+        road = batched_road_network_reward(spec, states)
     return life, green, road
 
 
@@ -76,11 +76,13 @@ class TPUTrainer:
     def __init__(self, cfg: Config, num_envs: Optional[int] = None,
                  rollout_len: Optional[int] = None, mesh=None,
                  encoder: str = 'sgnn', eval_envs: int = 16,
-                 use_tensorboard: bool = False):
+                 use_tensorboard: bool = False,
+                 keep_boundaries: bool = False):
         self.cfg = cfg
         self.plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
         self.spec = build_env_spec(cfg, self.plc,
-                                   max_steps=cfg.max_sequence_length)
+                                   max_steps=cfg.max_sequence_length,
+                                   keep_boundaries=keep_boundaries)
         self.init_state = build_initial_state(self.spec, self.plc)
         self.num_envs = num_envs or cfg.rollout_specs.get('num_envs', 256)
         # the rollout window must cover a full episode (episodes that span
@@ -98,21 +100,37 @@ class TPUTrainer:
             from torch.utils.tensorboard import SummaryWriter
             self.tb = SummaryWriter(cfg.tb_dir)
 
-        # slot-layout observations: nodes = feature slots, edges = edge slots
-        cfg.state_encoder_specs = dict(cfg.state_encoder_specs)
-        cfg.state_encoder_specs['max_num_nodes'] = self.spec.num_features
-        cfg.state_encoder_specs['max_num_edges'] = self.spec.NE
-        self.model = create_sgnn_model(cfg) if encoder == 'sgnn' \
-            else create_mlp_model(cfg)
-        from urban_tpu.jaxenv.step import build_obs
-        obs0 = jax.tree.map(lambda x: x[None], build_obs(self.spec,
-                                                         self.init_state))
-        self.params = self.model.init(jax.random.PRNGKey(cfg.seed), obs0)
+        self.encoder = encoder
         self.ppo_cfg = PPOConfig(clip_epsilon=cfg.clip_epsilon,
                                  value_pred_coef=cfg.value_pred_coef,
                                  entropy_coef=cfg.entropy_coef,
                                  grad_clip=1.0, lr=cfg.lr, eps=cfg.eps,
                                  weight_decay=cfg.weightdecay)
+        self._init_model()
+        self._reset_env_batch()
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.best_reward = -1000.0
+        self.best_plan_state = None       # single-env PlanState (host)
+        self.start_iteration = 0
+
+    def _init_model(self):
+        """(Re)build the model + optimizer around the current spec's slot
+        sizes. Called at construction and again by freeze_land_use_trainer:
+        freezing the land-use plan regrows the slot table (placed parcels
+        become fixed features), so the observation width changes between
+        phases — unlike the reference, whose observations are padded to a
+        constant max_num_nodes in both phases (hlg.yaml:26-27)."""
+        cfg = self.cfg
+        # slot-layout observations: nodes = feature slots, edges = edge slots
+        cfg.state_encoder_specs = dict(cfg.state_encoder_specs)
+        cfg.state_encoder_specs['max_num_nodes'] = self.spec.num_features
+        cfg.state_encoder_specs['max_num_edges'] = self.spec.NE
+        self.model = create_sgnn_model(cfg) if self.encoder == 'sgnn' \
+            else create_mlp_model(cfg)
+        from urban_tpu.jaxenv.step import build_obs
+        obs0 = jax.tree.map(lambda x: x[None], build_obs(self.spec,
+                                                         self.init_state))
+        self.params = self.model.init(jax.random.PRNGKey(cfg.seed), obs0)
         self.optimizer = make_optimizer(self.ppo_cfg)
         self.opt_state = self.optimizer.init(self.params)
         if self.mesh is not None:
@@ -120,14 +138,12 @@ class TPUTrainer:
             self.opt_state = replicate(self.mesh, self.opt_state)
             self.dp_update = make_dp_ppo_update(self.model, self.optimizer,
                                                 self.ppo_cfg, self.mesh)
+
+    def _reset_env_batch(self):
         self.env_states = broadcast_state(
             self.init_state.replace(done=jnp.asarray(True)), self.num_envs)
         if self.mesh is not None:
             self.env_states = shard_batch(self.mesh, self.env_states)
-        self.rng = jax.random.PRNGKey(cfg.seed)
-        self.best_reward = -1000.0
-        self.best_plan_state = None       # single-env PlanState (host)
-        self.start_iteration = 0
 
     # ------------------------------------------------------------------
     def collect(self):
@@ -306,10 +322,12 @@ def freeze_land_use_trainer(trainer: TPUTrainer, table) -> TPUTrainer:
     trainer.spec = build_env_spec(trainer.cfg, trainer.plc,
                                   max_steps=trainer.cfg.max_sequence_length)
     trainer.init_state = build_initial_state(trainer.spec, trainer.plc)
-    trainer.env_states = broadcast_state(
-        trainer.init_state.replace(done=jnp.asarray(True)), trainer.num_envs)
-    if trainer.mesh is not None:
-        trainer.env_states = shard_batch(trainer.mesh, trainer.env_states)
+    # the frozen plan regrows the slot table, so the observation width
+    # changes: rebuild the model/optimizer around the new spec. The road
+    # policy starts fresh, matching the reference in effect (its road head
+    # is untouched by the land-use phase, urban_planning_agent.py:208-221).
+    trainer._init_model()
+    trainer._reset_env_batch()
     trainer.best_reward = -1000.0
     trainer.best_plan_state = None
     return trainer
@@ -325,7 +343,8 @@ def run_training(cfg: Config, iterations: int, num_envs: Optional[int],
         cfg.train()
     trainer = TPUTrainer(cfg, num_envs=num_envs, rollout_len=rollout_len,
                          eval_envs=eval_envs,
-                         use_tensorboard=use_tensorboard)
+                         use_tensorboard=use_tensorboard,
+                         keep_boundaries=separate_train)
     if resume:
         trainer.load_checkpoint(resume)
     for it in range(trainer.start_iteration, iterations):
