@@ -57,3 +57,34 @@ def test_segment_mean_onehot_on_chip():
     out_pl = segment_mean_onehot_pallas(h_edges, edges, mask, N)
     assert np.asarray(out_pl) == pytest.approx(np.asarray(out_ref),
                                                abs=1e-5)
+
+
+def test_encoder_pallas_backend_matches_matmul(monkeypatch):
+    """Full SGNN forward with SCATTER_MODE=pallas (interpret on CPU) agrees
+    with the production matmul backend. Domain graphs are bipartite
+    (block, intersection), so the backends' self-loop conventions coincide;
+    tolerance covers the matmul path's bf16 passes."""
+    import numpy as np
+    from urban_tpu.models import encoder as enc
+    from urban_tpu.ops.pallas import segment_ops
+
+    if jax.default_backend() == 'cpu':
+        # route the kernel through the interpreter off-chip
+        orig = segment_ops.segment_mean_onehot_pallas
+        monkeypatch.setattr(
+            segment_ops, 'segment_mean_onehot_pallas',
+            lambda *a, **k: orig(*a, **{**k, 'interpret': True}))
+
+    rng = np.random.default_rng(5)
+    B, N, E, D = 2, 40, 64, 16
+    h_edges = jnp.asarray(rng.normal(size=(B, E, D)), dtype=jnp.float32)
+    e0 = rng.integers(0, N // 2, size=(B, E, 1))
+    e1 = rng.integers(N // 2, N, size=(B, E, 1))
+    edges = jnp.asarray(np.concatenate([e0, e1], -1), dtype=jnp.int32)
+    mask = jnp.asarray(rng.random((B, E)) < 0.8)
+
+    monkeypatch.setattr(enc, 'SCATTER_MODE', 'matmul')
+    out_mm = enc.scatter_to_nodes(h_edges, edges, mask, N)
+    monkeypatch.setattr(enc, 'SCATTER_MODE', 'pallas')
+    out_pl = enc.scatter_to_nodes(h_edges, edges, mask, N)
+    assert np.asarray(out_pl) == pytest.approx(np.asarray(out_mm), abs=2e-2)
