@@ -44,6 +44,12 @@ def main() -> None:
         if isinstance(payload, dict) and 'best_plan_state' in payload:
             # TPU-trainer checkpoint (rl/train_tpu.py save_checkpoint):
             # convert the jitted-env best-plan state to a host GeoTable
+            # (state_to_table sizes itself from the state's own buffers,
+            # so phase-2 checkpoints with regrown slot tables decode too)
+            if payload['best_plan_state'] is None:
+                raise SystemExit(
+                    'checkpoint holds no best plan (best_plan_state=None): '
+                    'no greedy eval episode succeeded before it was saved')
             from urban_tpu.envs.plan_client import PlanClient
             from urban_tpu.jaxenv.state import build_env_spec, state_to_table
             plc = PlanClient(cfg.objectives_plan, cfg.init_plan)

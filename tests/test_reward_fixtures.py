@@ -144,3 +144,42 @@ def test_greenness_fixture_full_and_zero(cfg):
     assert plc.get_greenness_reward() == pytest.approx(0.0, abs=1e-9)
     assert float(js.greenness_reward(spec, state)) == pytest.approx(
         0.0, abs=1e-9)
+
+
+def test_large_block_serpentine(cfg):
+    """Adversarial face decomposition: a serpentine road corridor whose
+    single face has a geodesic depth far beyond the old fixed-iteration
+    neighbor flood (regression: under-merged fragments each counted as a
+    large block). The comb below carves one connected winding face inside
+    a 110x110-cell frame: bbox > 800 m on both axes -> exactly ONE large
+    block; host polygonize agrees."""
+    # outer frame 110x110 cells (1100 m)
+    x0, y0, s = 10, 10, 110
+    geoms = [
+        _line((x0, y0), (x0 + s, y0)),
+        _line((x0 + s, y0), (x0 + s, y0 + s)),
+        _line((x0 + s, y0 + s), (x0, y0 + s)),
+        _line((x0, y0 + s), (x0, y0)),
+    ]
+    # comb teeth every 10 cells, alternating from bottom/top, leaving a
+    # 4-cell gap: the interior stays ONE face but its geodesic path snakes
+    # ~ (s/10) * s cells
+    for i, tx in enumerate(range(x0 + 10, x0 + s, 10)):
+        if i % 2 == 0:
+            geoms.append(_line((tx, y0), (tx, y0 + s - 4)))
+        else:
+            geoms.append(_line((tx, y0 + 4), (tx, y0 + s)))
+    types = [cc.ROAD] * len(geoms)
+    plc, spec, state = _make(cfg, geoms, types)
+
+    is_road = np.asarray(state.seg_alive) & \
+        (np.asarray(state.seg_type) == cc.ROAD)
+    n_large = int(js._large_block_count(spec, state,
+                                        np.asarray(is_road)))
+    assert n_large == 1
+
+    # host oracle: polygonize-based large-block count inside the road
+    # reward; compare the full reward channel too
+    r_host = plc.get_road_network_reward()[0]
+    r_jit = float(js.road_network_reward(spec, state))
+    assert r_jit == pytest.approx(r_host, abs=1e-2)

@@ -244,7 +244,13 @@ def state_to_table(spec: EnvSpec, state: PlanState):
 
     ids, types, geoms, rects, eqis, scs = [], [], [], [], [], []
     nid = 0
-    for i in range(spec.NP):
+    # bounds come from the state's own buffers, not the spec: a PlanState
+    # may be decoded under a spec with different capacities (e.g. a
+    # two-phase phase-2 checkpoint opened with the base-scenario spec in
+    # demo.py) and must still export every feature it holds
+    NP_s, NS_s, NPT_s = (poly_alive.shape[0], seg_alive.shape[0],
+                         pt_alive.shape[0])
+    for i in range(NP_s):
         if not poly_alive[i]:
             continue
         ids.append(nid); nid += 1
@@ -253,14 +259,14 @@ def state_to_table(spec: EnvSpec, state: PlanState):
             np.float64)))
         rects.append(float(rect[i])); eqis.append(float(eqi[i]))
         scs.append(float(sc[i]))
-    for j in range(spec.NS):
+    for j in range(NS_s):
         if not seg_alive[j]:
             continue
         ids.append(nid); nid += 1
         types.append(int(seg_type[j]))
         geoms.append(Geometry(LINE, seg[j].astype(np.float64)))
         rects.append(np.nan); eqis.append(np.nan); scs.append(np.nan)
-    for k in range(spec.NPT):
+    for k in range(NPT_s):
         if not pt_alive[k]:
             continue
         ids.append(nid); nid += 1

@@ -1124,7 +1124,14 @@ def _large_block_count(spec: EnvSpec, state: PlanState,
     faces, matching polygonize). Components that touch the raster border
     are the unbounded outer region, not faces. Exact for the grid-aligned
     road networks these scenarios build; sub-cell faces cannot occur
-    (parcels and blocks are at least one cell wide)."""
+    (parcels and blocks are at least one cell wide).
+
+    Walk lines are offset from exact half-integers by _WALK_EPS so that a
+    chain node of a collinear road (which CAN land on a half-integer
+    coordinate, e.g. a 25 m slice point with 10 m cells) never lies exactly
+    on a walk line — the proper-crossing test returns False for both
+    sub-segments in that degenerate tangency, which would let the walk
+    pass through an unbroken road wall."""
     CC = int(spec.grid_cols)
     RC = int(spec.grid_rows)
     cell = spec.cell_edge_length
@@ -1132,8 +1139,9 @@ def _large_block_count(spec: EnvSpec, state: PlanState,
     a = seg[:, 0][None, :, :]
     b = seg[:, 1][None, :, :]
 
-    xs = jnp.arange(CC) + 0.5
-    ys = jnp.arange(RC) + 0.5
+    _WALK_EPS = 4.8828125e-4        # 2**-11: clear of slice-point rationals
+    xs = jnp.arange(CC) + 0.5 + _WALK_EPS
+    ys = jnp.arange(RC) + 0.5 + _WALK_EPS
     cx, cy = jnp.meshgrid(xs, ys, indexing='xy')        # (RC, CC)
     centers = jnp.stack([cx, cy], axis=-1)              # (RC, CC, 2)
 
@@ -1158,31 +1166,54 @@ def _large_block_count(spec: EnvSpec, state: PlanState,
     pass_d = jnp.pad(~block_d, ((0, 1), (0, 0)), constant_values=False)
     pass_u = jnp.pad(~block_d, ((1, 0), (0, 0)), constant_values=False)
 
-    def flood(vals, reduce_min, iters):
-        def nbr(v):
-            right = jnp.pad(v[:, 1:], ((0, 0), (0, 1)),
-                            constant_values=big)
-            left = jnp.pad(v[:, :-1], ((0, 0), (1, 0)),
-                           constant_values=big)
-            down = jnp.pad(v[1:], ((0, 1), (0, 0)), constant_values=big)
-            up = jnp.pad(v[:-1], ((1, 0), (0, 0)), constant_values=big)
-            return right, left, down, up
+    def seg_scan(v, boundary, axis, reverse, combine):
+        """Segmented directional scan: at each cell, combine() over the
+        contiguous unblocked run of predecessors along the axis. One scan
+        propagates along an ENTIRE straight corridor, so a winding face
+        converges in ~#turns sweeps where single-step neighbor flooding
+        needs its full geodesic length (a serpentine corridor on the
+        240x240 grid can be ~28k cells deep — the round-1 fixed iteration
+        cap under-merged it)."""
+        def op(x, y):
+            xv, xf = x
+            yv, yf = y
+            return (jnp.where(yf, yv, combine(xv, yv)), xf | yf)
 
-        def body(_, v):
-            r_, l_, d_, u_ = nbr(v)
-            cand = jnp.minimum(
-                jnp.minimum(jnp.where(pass_r, r_, big),
-                            jnp.where(pass_l, l_, big)),
-                jnp.minimum(jnp.where(pass_d, d_, big),
-                            jnp.where(pass_u, u_, big)))
-            return reduce_min(v, cand)
+        out, _ = jax.lax.associative_scan(op, (v, boundary), axis=axis,
+                                          reverse=reverse)
+        return out
 
-        return jax.lax.fori_loop(0, iters, body, vals)
+    def flood(vals, combine, gates):
+        """Sweep the 4 directional segmented scans to a fixpoint."""
+        g_l, g_r, g_u, g_d = gates      # can-receive-from-{l,r,u,d}
 
-    iters = 2 * (RC + CC) + 8
-    labels = flood(ids, jnp.minimum, iters)
+        def sweep(v):
+            v = seg_scan(v, ~g_l, axis=1, reverse=False, combine=combine)
+            v = seg_scan(v, ~g_r, axis=1, reverse=True, combine=combine)
+            v = seg_scan(v, ~g_u, axis=0, reverse=False, combine=combine)
+            v = seg_scan(v, ~g_d, axis=0, reverse=True, combine=combine)
+            return v
+
+        def cond(carry):
+            _, changed, i = carry
+            return changed & (i < RC + CC)
+
+        def body(carry):
+            v, _, i = carry
+            v2 = sweep(v)
+            return v2, jnp.any(v2 != v), i + 1
+
+        out, _, _ = jax.lax.while_loop(cond, body, (sweep(vals),
+                                                    jnp.asarray(True),
+                                                    jnp.asarray(0)))
+        return out
+
+    # gates: cell (r, c) receives from its left neighbor iff pass_l[r, c]
+    label_gates = (pass_l, pass_r, pass_u, pass_d)
+    labels = flood(ids, jnp.minimum, label_gates)
 
     # per-face extents: propagate min/max coordinates within equal labels
+    # (same sweeps, gated additionally on label equality with the neighbor)
     def shift4(x, fill):
         right = jnp.pad(x[:, 1:], ((0, 0), (0, 1)), constant_values=fill)
         left = jnp.pad(x[:, :-1], ((0, 0), (1, 0)), constant_values=fill)
@@ -1190,33 +1221,18 @@ def _large_block_count(spec: EnvSpec, state: PlanState,
         up = jnp.pad(x[:-1], ((1, 0), (0, 0)), constant_values=fill)
         return right, left, down, up
 
-    def bbox_flood(vals, combine, fill):
-        lr, ll, ld, lu = shift4(labels, big)
-        same_r = pass_r & (lr == labels)
-        same_l = pass_l & (ll == labels)
-        same_d = pass_d & (ld == labels)
-        same_u = pass_u & (lu == labels)
-
-        def body(_, v):
-            vr, vl, vd, vu = shift4(v, fill)
-            out = v
-            out = combine(out, jnp.where(same_r, vr, out))
-            out = combine(out, jnp.where(same_l, vl, out))
-            out = combine(out, jnp.where(same_d, vd, out))
-            out = combine(out, jnp.where(same_u, vu, out))
-            return out
-
-        return jax.lax.fori_loop(0, iters, body, vals)
+    lr, ll, ld, lu = shift4(labels, big)
+    bbox_gates = (pass_l & (ll == labels), pass_r & (lr == labels),
+                  pass_u & (lu == labels), pass_d & (ld == labels))
 
     gx = jnp.broadcast_to(jnp.arange(CC)[None, :], (RC, CC)).astype(
         jnp.float32)
     gy = jnp.broadcast_to(jnp.arange(RC)[:, None], (RC, CC)).astype(
         jnp.float32)
-    fbig = float(big)
-    minx = bbox_flood(gx, jnp.minimum, fbig)
-    maxx = bbox_flood(gx, jnp.maximum, -fbig)
-    miny = bbox_flood(gy, jnp.minimum, fbig)
-    maxy = bbox_flood(gy, jnp.maximum, -fbig)
+    minx = flood(gx, jnp.minimum, bbox_gates)
+    maxx = flood(gx, jnp.maximum, bbox_gates)
+    miny = flood(gy, jnp.minimum, bbox_gates)
+    maxy = flood(gy, jnp.maximum, bbox_gates)
 
     is_repr = labels == ids
     touches_border = (minx == 0) | (miny == 0) | (maxx == CC - 1) | \

@@ -111,7 +111,10 @@ class TPUTrainer:
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.best_reward = -1000.0
         self.best_plan_state = None       # single-env PlanState (host)
+        self.best_params = None           # params snapshot at best eval
         self.start_iteration = 0
+        self.phase = 1                    # 2 after freeze_land_use_trainer
+        self.frozen_table = None          # phase-2 frozen land-use plan
 
     def _init_model(self):
         """(Re)build the model + optimizer around the current spec's slot
@@ -153,9 +156,10 @@ class TPUTrainer:
             self.env_states, sub, self.rollout_len)
         return traj
 
-    def update(self, traj, iteration: int):
+    def update(self, traj, iteration: int, weights=None):
         T, B = traj.rewards.shape
-        weights = episode_success_weights(traj.dones, traj.failures)
+        if weights is None:
+            weights = episode_success_weights(traj.dones, traj.failures)
         advantages, returns = batched_gae(traj.rewards, traj.dones,
                                           traj.values, self.cfg.gamma,
                                           self.cfg.tau)
@@ -224,6 +228,11 @@ class TPUTrainer:
                 self.best_reward = float(total_r[best_i])
                 self.best_plan_state = jax.device_get(
                     jax.tree.map(lambda x: x[best_i], final))
+                # snapshot the params that PRODUCED the best plan, so
+                # tpu_best.p holds best-eval weights even if training
+                # later regresses (reference best-checkpoint semantics,
+                # urban_planning_agent.py:186-192)
+                self.best_params = jax.device_get(self.params)
         if self.tb is not None:
             self.tb.add_scalar('eval/eval_R_eps_avg', mean_r, iteration)
             for k, v in chans.items():
@@ -248,11 +257,11 @@ class TPUTrainer:
         dones = np.asarray(traj.dones)
         fails = np.asarray(traj.failures)
         rewards = np.asarray(traj.rewards)
-        weights = np.asarray(episode_success_weights(traj.dones,
-                                                     traj.failures))
+        weights_dev = episode_success_weights(traj.dones, traj.failures)
+        weights = np.asarray(weights_dev)
         term = dones & ~fails
         mean_ep = float(rewards[term].mean()) if term.any() else -1.0
-        stats = self.update(traj, iteration)
+        stats = self.update(traj, iteration, weights=weights_dev)
         jax.block_until_ready(stats['loss'])
         t2 = time.time()
         eval_r = float('nan')
@@ -281,25 +290,34 @@ class TPUTrainer:
     # ------------------------------------------------------------------
     def save_checkpoint(self, iteration: int, tag: str = None) -> None:
         """Pickle checkpoint incl. the best-plan payload (reference
-        checkpoint dict, urban_planning_agent.py:172-194)."""
+        checkpoint dict, urban_planning_agent.py:172-194). tpu_best.p
+        carries the params snapshotted WHEN the best eval was achieved,
+        not the latest params (training can regress past its peak)."""
         name = tag or f'tpu_iteration_{iteration:04d}'
+        common = {'iteration': iteration,
+                  'best_reward': self.best_reward,
+                  'best_plan_state': self.best_plan_state,
+                  'phase': self.phase,
+                  'frozen_table': self.frozen_table}
         path = os.path.join(self.cfg.model_dir, f'{name}.p')
         with open(path, 'wb') as f:
-            pickle.dump({'params': jax.device_get(self.params),
-                         'opt_state': jax.device_get(self.opt_state),
-                         'iteration': iteration,
-                         'best_reward': self.best_reward,
-                         'best_plan_state': self.best_plan_state}, f)
+            pickle.dump(dict(common, params=jax.device_get(self.params),
+                             opt_state=jax.device_get(self.opt_state)), f)
         best = os.path.join(self.cfg.model_dir, 'tpu_best.p')
-        import shutil
-        shutil.copyfile(path, best)
+        with open(best, 'wb') as f:
+            pickle.dump(dict(common,
+                             params=(self.best_params if self.best_params
+                                     is not None
+                                     else jax.device_get(self.params)),
+                             opt_state=None), f)
 
     def load_checkpoint(self, path: str,
                         restore_best_reward: bool = True) -> None:
         with open(path, 'rb') as f:
             ckpt = pickle.load(f)
         self.params = ckpt['params']
-        self.opt_state = ckpt['opt_state']
+        if ckpt.get('opt_state') is not None:
+            self.opt_state = ckpt['opt_state']
         if self.mesh is not None:
             self.params = replicate(self.mesh, self.params)
             self.opt_state = replicate(self.mesh, self.opt_state)
@@ -330,6 +348,9 @@ def freeze_land_use_trainer(trainer: TPUTrainer, table) -> TPUTrainer:
     trainer._reset_env_batch()
     trainer.best_reward = -1000.0
     trainer.best_plan_state = None
+    trainer.best_params = None
+    trainer.phase = 2
+    trainer.frozen_table = table
     return trainer
 
 
@@ -345,31 +366,48 @@ def run_training(cfg: Config, iterations: int, num_envs: Optional[int],
                          eval_envs=eval_envs,
                          use_tensorboard=use_tensorboard,
                          keep_boundaries=separate_train)
+    resume_phase = 1
     if resume:
+        # a phase-2 checkpoint carries the frozen land-use table and
+        # phase-2-shaped params: re-enter phase 2 (rebuild spec + model
+        # around the frozen plan) BEFORE installing the params
+        with open(resume, 'rb') as f:
+            ckpt_head = pickle.load(f)
+        resume_phase = ckpt_head.get('phase', 1)
+        if resume_phase == 2:
+            if not separate_train:
+                raise ValueError('phase-2 checkpoint requires '
+                                 '--separate_train')
+            cfg.finetune()
+            freeze_land_use_trainer(trainer, ckpt_head['frozen_table'])
         trainer.load_checkpoint(resume)
-    for it in range(trainer.start_iteration, iterations):
-        trainer.train_iteration(it)
-        if (it + 1) % cfg.save_model_interval == 0:
-            trainer.save_checkpoint(it)
-    trainer.save_checkpoint(iterations - 1, tag='tpu_phase1_final'
-                            if separate_train else 'tpu_final')
+
+    if resume_phase == 1:
+        for it in range(trainer.start_iteration, iterations):
+            trainer.train_iteration(it)
+            if (it + 1) % cfg.save_model_interval == 0:
+                trainer.save_checkpoint(it)
+        trainer.save_checkpoint(iterations - 1, tag='tpu_phase1_final'
+                                if separate_train else 'tpu_final')
 
     if separate_train:
-        table = trainer.best_plan_table()
-        if table is None:
-            trainer.logger.info('no successful plan found in phase 1; '
-                                'skipping road phase')
-            return trainer
-        # complete the land-use plan exactly as the env's stage transition
-        # does: leftover feasible space becomes small green
-        from urban_tpu import city_config
-        leftover = table.alive_mask_of(city_config.FEASIBLE)
-        table.types[leftover] = city_config.GREEN_S
-        cfg.finetune()
-        trainer.logger.info(f'phase 2 (road): frozen best plan '
-                            f'reward={trainer.best_reward:.3f}')
-        freeze_land_use_trainer(trainer, table)
-        for it in range(iterations, 2 * iterations):
+        if resume_phase == 1:
+            table = trainer.best_plan_table()
+            if table is None:
+                trainer.logger.info('no successful plan found in phase 1; '
+                                    'skipping road phase')
+                return trainer
+            # complete the land-use plan exactly as the env's stage
+            # transition does: leftover feasible space becomes small green
+            from urban_tpu import city_config
+            leftover = table.alive_mask_of(city_config.FEASIBLE)
+            table.types[leftover] = city_config.GREEN_S
+            cfg.finetune()
+            trainer.logger.info(f'phase 2 (road): frozen best plan '
+                                f'reward={trainer.best_reward:.3f}')
+            freeze_land_use_trainer(trainer, table)
+        start2 = max(iterations, trainer.start_iteration)
+        for it in range(start2, 2 * iterations):
             trainer.train_iteration(it)
             if (it + 1) % cfg.save_model_interval == 0:
                 trainer.save_checkpoint(it)
