@@ -50,12 +50,8 @@ def main() -> None:
                 raise SystemExit(
                     'checkpoint holds no best plan (best_plan_state=None): '
                     'no greedy eval episode succeeded before it was saved')
-            from urban_tpu.envs.plan_client import PlanClient
-            from urban_tpu.jaxenv.state import build_env_spec, state_to_table
-            plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
-            spec = build_env_spec(cfg, plc,
-                                  max_steps=cfg.max_sequence_length)
-            table = state_to_table(spec, payload['best_plan_state'])
+            from urban_tpu.jaxenv.state import state_to_table
+            table = state_to_table(payload['best_plan_state'])
         else:
             table = payload['gdf'] if isinstance(payload, dict) else payload
 

@@ -88,7 +88,7 @@ def test_road_network_reward_parity_grid():
                              & (state.seg_type == 2)).sum())
     assert n_roads > 0
 
-    table = state_to_table(spec, state)
+    table = state_to_table(state)
     env = CityEnv(cfg)
     env.load_plan(table)
     host_reward, host_info = env._plc.get_road_network_reward()

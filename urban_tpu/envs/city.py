@@ -33,8 +33,8 @@ class InfeasibleActionError(ValueError):
         self.mask = mask
 
     def __str__(self):
-        return 'Infeasible action ({}) when the mask is ({})'.format(
-            self.action, self.mask)
+        return 'action {} is not permitted by the current feasibility ' \
+               'mask {}'.format(self.action, self.mask)
 
 
 def reward_info_function(plc: PlanClient, name: str,
@@ -79,7 +79,7 @@ def reward_info_function(plc: PlanClient, name: str,
             'greenness': greenness, 'concept': concept,
             'life_circle_info': life_circle_info,
             'concept_info': concept_info}
-    raise ValueError('Invalid state.')
+    raise ValueError(f'unknown reward channel {name!r}')
 
 
 class CityEnv:
@@ -127,15 +127,15 @@ class CityEnv:
             self._land_use_done = True
             self._road_done = False
         else:
-            raise ValueError('Invalid stage. Land_use step and road step both '
-                             'reached max steps.')
+            raise ValueError('scenario skips both the land_use and road '
+                             'stages; nothing to plan')
 
     def _compute_total_road_steps(self) -> None:
         if self._stage == 'road' and self._road_steps == 0:
             self._total_road_steps = math.floor(
                 np.count_nonzero(self._current_road_mask) * self.cfg.road_ratio)
         else:
-            raise ValueError('Invalid stage.')
+            raise ValueError(f'no road budget to compute in stage {self._stage!r}')
 
     def _set_cached_reward_info(self) -> None:
         if not self._frozen:
@@ -168,13 +168,13 @@ class CityEnv:
                 return self._reward_info_fn(self._plc, 'intermediate')
             if self._stage == 'done':
                 return self._reward_info_fn(self._plc, 'land_use')
-            raise ValueError('Invalid stage.')
+            raise ValueError(f'reward undefined for stage {self._stage!r}')
         if self.cfg.skip_land_use:
             if self._stage == 'road':
                 return self._reward_info_fn(self._plc, 'intermediate')
             if self._stage == 'done':
                 return self._reward_info_fn(self._plc, 'road')
-            raise ValueError('Invalid stage.')
+            raise ValueError(f'reward undefined for stage {self._stage!r}')
         if self._stage == 'land_use' or (self._stage == 'road'
                                          and self._road_steps > 0):
             return self._reward_info_fn(self._plc, 'intermediate')
@@ -182,7 +182,7 @@ class CityEnv:
             return self._reward_info_fn(self._plc, 'land_use')
         if self._stage == 'done':
             return self._reward_info_fn(self._plc, 'road')
-        raise ValueError('Invalid stage.')
+        raise ValueError(f'reward undefined for stage {self._stage!r}')
 
     def _get_all_reward_info(self) -> Tuple[float, Dict]:
         """Full scoring for loaded plans (reference city.py:236-250)."""
@@ -289,7 +289,7 @@ class CityEnv:
     def step(self, action: np.ndarray, logger: logging.Logger
              ) -> Tuple[List, float, bool, Dict]:
         if self._done:
-            raise RuntimeError('Action taken after episode is done.')
+            raise RuntimeError('step() called on a finished episode; call reset() first')
 
         if self._stage == 'land_use':
             land_use = self._current_land_use
@@ -302,7 +302,7 @@ class CityEnv:
             except Exception as err:
                 logger.error(err)
                 return self.failure_step(
-                    'Actions took before failing to place land use', logger)
+                    'geometry failure while mutating the plan; action history', logger)
             self._land_use_steps += 1
             if self._plc.is_land_use_done():
                 self.fill_leftover()
@@ -313,14 +313,14 @@ class CityEnv:
                 self._get_land_use_and_mask()
             if not self._land_use_done and not np.any(self._current_land_use_mask):
                 return self.failure_step(
-                    'Actions took before becoming infeasible', logger)
+                    'plan reached a dead state with no feasible action; action history', logger)
             self._current_road_mask = self._get_road_mask()
             if self._stage != 'land_use':
                 self._cached_land_use_reward = reward
                 if self._stage == 'road':
                     if not np.any(self._current_road_mask):
                         return self.failure_step(
-                            'Actions took before becoming infeasible', logger)
+                            'plan reached a dead state with no feasible action; action history', logger)
                     self._cached_life_circle_reward = info['life_circle']
                     self._cached_greenness_reward = info['greenness']
                     self._cached_concept_reward = info['concept']
@@ -337,7 +337,7 @@ class CityEnv:
             except Exception as err:
                 logger.error(err)
                 return self.failure_step(
-                    'Actions took before failing to place land use', logger)
+                    'geometry failure while mutating the plan; action history', logger)
             self._road_steps += 1
             if self._road_steps >= self._total_road_steps:
                 self.transition_stage()

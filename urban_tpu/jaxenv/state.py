@@ -220,7 +220,7 @@ def build_env_spec(cfg, plc: PlanClient, max_steps: int = 60,
     )
 
 
-def state_to_table(spec: EnvSpec, state: PlanState):
+def state_to_table(state: PlanState):
     """Host-side export of one env's slot state to the host engine's
     GeoTable — for scoring via CityEnv.load_plan/score_plan, best-plan
     checkpoint payloads, and the two-phase land-use freeze (reference

@@ -1196,7 +1196,12 @@ def _large_block_count(spec: EnvSpec, state: PlanState,
 
         def cond(carry):
             _, changed, i = carry
-            return changed & (i < RC + CC)
+            # backstop only: the loop exits at fixpoint, usually within a
+            # few sweeps. Each sweep advances a snaking corridor by >=2
+            # legs, and a face can have at most ~RC*CC/2 legs, so RC*CC
+            # sweeps can never under-merge (a RC+CC cap theoretically
+            # could on adversarial serpentines).
+            return changed & (i < RC * CC)
 
         def body(carry):
             v, _, i = carry

@@ -17,6 +17,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -67,6 +68,7 @@ def make_dp_ppo_update(model, optimizer, ppo_cfg, mesh: Mesh,
                                axis_name=axis), has_aux=True)
         (_, stats), grads = grad_fn(params)
         grads = jax.lax.psum(grads, axis)
+        stats = dict(stats, grad_norm=optax.global_norm(grads))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, stats

@@ -112,6 +112,7 @@ class TPUTrainer:
         self.best_reward = -1000.0
         self.best_plan_state = None       # single-env PlanState (host)
         self.best_params = None           # params snapshot at best eval
+        self.best_iteration = -1          # iteration that achieved best eval
         self.start_iteration = 0
         self.phase = 1                    # 2 after freeze_land_use_trainer
         self.frozen_table = None          # phase-2 frozen land-use plan
@@ -233,6 +234,7 @@ class TPUTrainer:
                 # later regresses (reference best-checkpoint semantics,
                 # urban_planning_agent.py:186-192)
                 self.best_params = jax.device_get(self.params)
+                self.best_iteration = iteration
         if self.tb is not None:
             self.tb.add_scalar('eval/eval_R_eps_avg', mean_r, iteration)
             for k, v in chans.items():
@@ -245,7 +247,7 @@ class TPUTrainer:
         """Best greedy plan as a host GeoTable (for score_plan / freeze)."""
         if self.best_plan_state is None:
             return None
-        return state_to_table(self.spec, self.best_plan_state)
+        return state_to_table(self.best_plan_state)
 
     # ------------------------------------------------------------------
     def train_iteration(self, iteration: int,
@@ -297,6 +299,8 @@ class TPUTrainer:
         common = {'iteration': iteration,
                   'best_reward': self.best_reward,
                   'best_plan_state': self.best_plan_state,
+                  'best_params': self.best_params,
+                  'best_iteration': self.best_iteration,
                   'phase': self.phase,
                   'frozen_table': self.frozen_table}
         path = os.path.join(self.cfg.model_dir, f'{name}.p')
@@ -305,16 +309,28 @@ class TPUTrainer:
                              opt_state=jax.device_get(self.opt_state)), f)
         best = os.path.join(self.cfg.model_dir, 'tpu_best.p')
         with open(best, 'wb') as f:
-            pickle.dump(dict(common,
+            # the best payload's iteration is the one that ACHIEVED the best
+            # eval (its params are from that point); resuming from tpu_best.p
+            # therefore replays training from right after the peak rather
+            # than silently continuing a later counter with older weights
+            best_it = (self.best_iteration if self.best_iteration >= 0
+                       else iteration)
+            pickle.dump(dict(common, iteration=best_it,
+                             saved_at_iteration=iteration,
                              params=(self.best_params if self.best_params
                                      is not None
                                      else jax.device_get(self.params)),
                              opt_state=None), f)
 
-    def load_checkpoint(self, path: str,
+    def load_checkpoint(self, path,
                         restore_best_reward: bool = True) -> None:
-        with open(path, 'rb') as f:
-            ckpt = pickle.load(f)
+        """path: checkpoint file path, or an already-unpickled dict (avoids
+        re-reading params + the pickled GeoTable when the caller peeked)."""
+        if isinstance(path, dict):
+            ckpt = path
+        else:
+            with open(path, 'rb') as f:
+                ckpt = pickle.load(f)
         self.params = ckpt['params']
         if ckpt.get('opt_state') is not None:
             self.opt_state = ckpt['opt_state']
@@ -322,33 +338,75 @@ class TPUTrainer:
             self.params = replicate(self.mesh, self.params)
             self.opt_state = replicate(self.mesh, self.opt_state)
         self.start_iteration = ckpt['iteration'] + 1
+        self.best_plan_state = ckpt.get('best_plan_state')
+        self.best_params = ckpt.get('best_params')
         if restore_best_reward:
             self.best_reward = ckpt['best_reward']
-            self.best_plan_state = ckpt.get('best_plan_state')
+            self.best_iteration = ckpt.get('best_iteration', -1)
         else:
             self.best_reward = -1000.0
-            self.best_plan_state = ckpt.get('best_plan_state')
+            self.best_iteration = -1
 
 
-def freeze_land_use_trainer(trainer: TPUTrainer, table) -> TPUTrainer:
+def transfer_matching_params(src, dst):
+    """Copy every leaf of ``src`` into ``dst`` whose tree path exists in both
+    and whose shape matches; returns (new_dst, copied, total) leaf counts.
+
+    Used to carry the land-use-trained trunk into the road phase: the
+    reference restores the FULL best phase-1 checkpoint into phase 2
+    (urban_planning_agent.py:214-221), trunk included; here the observation
+    width changes between phases (the frozen plan regrows the slot table),
+    so only the shape-compatible submodules — inner GCN layers, attention,
+    value/policy hidden layers — transfer, and input-width-dependent kernels
+    re-initialize."""
+    src_flat = {jax.tree_util.keystr(p): v for p, v in
+                jax.tree_util.tree_flatten_with_path(src)[0]}
+    dst_flat, treedef = jax.tree_util.tree_flatten_with_path(dst)
+    out, copied = [], 0
+    for path, leaf in dst_flat:
+        cand = src_flat.get(jax.tree_util.keystr(path))
+        if cand is not None and getattr(cand, 'shape', None) == leaf.shape \
+                and getattr(cand, 'dtype', None) == leaf.dtype:
+            out.append(cand)
+            copied += 1
+        else:
+            out.append(leaf)
+    return treedef.unflatten(out), copied, len(dst_flat)
+
+
+def freeze_land_use_trainer(trainer: TPUTrainer, table,
+                            warm_start_params=None) -> TPUTrainer:
     """Two-phase curriculum for the TPU path: rebuild the trainer's spec and
     initial state around a frozen land-use plan and switch to road-only
     training (reference urban_planning_agent.py:214-221 / config.py:71-75).
-    cfg.finetune() must already have been applied."""
+    cfg.finetune() must already have been applied.
+
+    warm_start_params: phase-1 params (typically the best-eval snapshot) to
+    transfer into the rebuilt model where shapes allow — the TPU analog of
+    the reference's load_checkpoint('best') before the road phase."""
     trainer.plc.freeze_land_use(table)
     trainer.plc.unplan_all_land_use()
     trainer.spec = build_env_spec(trainer.cfg, trainer.plc,
                                   max_steps=trainer.cfg.max_sequence_length)
     trainer.init_state = build_initial_state(trainer.spec, trainer.plc)
     # the frozen plan regrows the slot table, so the observation width
-    # changes: rebuild the model/optimizer around the new spec. The road
-    # policy starts fresh, matching the reference in effect (its road head
-    # is untouched by the land-use phase, urban_planning_agent.py:208-221).
+    # changes: rebuild the model/optimizer around the new spec, then carry
+    # over the shape-compatible phase-1 trunk.
     trainer._init_model()
+    if warm_start_params is not None:
+        trainer.params, copied, total = transfer_matching_params(
+            jax.device_get(warm_start_params), jax.device_get(trainer.params))
+        trainer.opt_state = trainer.optimizer.init(trainer.params)
+        if trainer.mesh is not None:
+            trainer.params = replicate(trainer.mesh, trainer.params)
+            trainer.opt_state = replicate(trainer.mesh, trainer.opt_state)
+        trainer.logger.info(f'phase 2 warm start: transferred {copied}/'
+                            f'{total} param tensors from phase-1 best')
     trainer._reset_env_batch()
     trainer.best_reward = -1000.0
     trainer.best_plan_state = None
     trainer.best_params = None
+    trainer.best_iteration = -1
     trainer.phase = 2
     trainer.frozen_table = table
     return trainer
@@ -357,7 +415,7 @@ def freeze_land_use_trainer(trainer: TPUTrainer, table) -> TPUTrainer:
 def run_training(cfg: Config, iterations: int, num_envs: Optional[int],
                  separate_train: bool, eval_envs: int = 16,
                  use_tensorboard: bool = True, rollout_len: int = None,
-                 resume: str = None):
+                 resume: str = None, warm_start_phase2: bool = True):
     """Training driver: single-phase, or the reference's two-phase
     land-use -> freeze -> road curriculum (reference train.py:64-72)."""
     if separate_train:
@@ -372,15 +430,15 @@ def run_training(cfg: Config, iterations: int, num_envs: Optional[int],
         # phase-2-shaped params: re-enter phase 2 (rebuild spec + model
         # around the frozen plan) BEFORE installing the params
         with open(resume, 'rb') as f:
-            ckpt_head = pickle.load(f)
-        resume_phase = ckpt_head.get('phase', 1)
+            ckpt = pickle.load(f)
+        resume_phase = ckpt.get('phase', 1)
         if resume_phase == 2:
             if not separate_train:
                 raise ValueError('phase-2 checkpoint requires '
                                  '--separate_train')
             cfg.finetune()
-            freeze_land_use_trainer(trainer, ckpt_head['frozen_table'])
-        trainer.load_checkpoint(resume)
+            freeze_land_use_trainer(trainer, ckpt['frozen_table'])
+        trainer.load_checkpoint(ckpt)
 
     if resume_phase == 1:
         for it in range(trainer.start_iteration, iterations):
@@ -405,7 +463,10 @@ def run_training(cfg: Config, iterations: int, num_envs: Optional[int],
             cfg.finetune()
             trainer.logger.info(f'phase 2 (road): frozen best plan '
                                 f'reward={trainer.best_reward:.3f}')
-            freeze_land_use_trainer(trainer, table)
+            freeze_land_use_trainer(
+                trainer, table,
+                warm_start_params=(trainer.best_params if warm_start_phase2
+                                   else None))
         start2 = max(iterations, trainer.start_iteration)
         for it in range(start2, 2 * iterations):
             trainer.train_iteration(it)
@@ -440,6 +501,10 @@ def main():
                        'conditioned for the terminal-sparse stage rewards.')
     flags.DEFINE_float('lr', -1.0, 'Learning-rate override (<0 = cfg).')
     flags.DEFINE_string('resume', '', 'Checkpoint path to resume from.')
+    flags.DEFINE_bool('warm_start_phase2', True,
+                      'Carry shape-compatible phase-1 best params (trunk) '
+                      'into the road phase, like the reference\'s '
+                      'load_checkpoint("best") before finetuning.')
     flags.DEFINE_bool('tmp', True, 'Temporary storage.')
     FLAGS = flags.FLAGS
 
@@ -455,7 +520,7 @@ def main():
         run_training(cfg, FLAGS.iterations, FLAGS.num_envs or None,
                      FLAGS.separate_train, FLAGS.eval_envs,
                      FLAGS.tensorboard, FLAGS.rollout_len or None,
-                     FLAGS.resume or None)
+                     FLAGS.resume or None, FLAGS.warm_start_phase2)
 
     flags.mark_flags_as_required(['cfg'])
     app.run(run)
