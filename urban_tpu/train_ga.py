@@ -32,6 +32,8 @@ flags.DEFINE_integer('mutation_percent_genes', 10, 'Mutation percentage.')
 flags.DEFINE_bool('tpu_env', True, 'Evaluate the whole population as one '
                   'vmapped batch on the jitted TPU environment (the host '
                   'path evaluates genes one greedy episode at a time).')
+flags.DEFINE_string('export_geojson', '', 'Also export the best solution\'s '
+                    'greedy plan to this geojson path.')
 
 FLAGS = flags.FLAGS
 
@@ -98,6 +100,10 @@ def main_loop(_):
                                visualize=FLAGS.visualize)
     pprint({k: v for k, v in plan.items() if not k.endswith('gdf')},
            indent=4, sort_dicts=False)
+    if FLAGS.export_geojson and 'gdf' in plan:
+        from urban_tpu.io.geojson import save_geojson
+        save_geojson(plan['gdf'], FLAGS.export_geojson)
+        print(f'exported best greedy plan to {FLAGS.export_geojson}')
 
 
 if __name__ == '__main__':
