@@ -277,3 +277,410 @@ def difference_pieces_by_quad(ring: jnp.ndarray, nvert: jnp.ndarray,
         cur, cur_n = dedupe_ring(cur, cur_n)
         overflow = overflow | ovf1 | ovf2
     return jnp.stack(pieces_ring), jnp.stack(pieces_n), overflow
+
+
+# ---------------------------------------------------------------------------
+# convex hull, connected boolean pieces, simplification (round-3 additions
+# backing the branch-complete jit slicer; host oracles: geometry/ops.py
+# convex_hull / clip_polygon_convex / difference_convex / simplify_ring_dp,
+# themselves ports of reference plan_client.py:445-512)
+# ---------------------------------------------------------------------------
+
+
+def convex_hull_masked(pts: jnp.ndarray, mask: jnp.ndarray,
+                       eps: float = 1e-7):
+    """Convex hull of masked points as a CCW masked ring (K, 2), nh.
+
+    Directed-edge formulation (branchless O(K^3) instead of a sequential
+    Graham scan): i->j is a hull edge iff every active point lies left of
+    the line i->j, and points collinear with it sit inside the segment span
+    (so each supporting line contributes exactly its extreme pair). Hull
+    vertices are the edge tails, ordered CCW by angle around their mean —
+    valid because the hull is convex and the mean is interior."""
+    k = pts.shape[0]
+    d = pts[None, :, :] - pts[:, None, :]            # d[i, j] = pts[j]-pts[i]
+    dlen = jnp.linalg.norm(d, axis=-1)               # (K, K)
+    # cross[i, j, k] = (j - i) x (k - i)
+    cross = d[:, :, None, 0] * d[:, None, :, 1] - \
+        d[:, :, None, 1] * d[:, None, :, 0]
+    tolc = eps * jnp.maximum(dlen, eps)[:, :, None]
+    left_ok = cross >= -tolc
+    collinear = jnp.abs(cross) <= tolc
+    denom = jnp.maximum(dlen * dlen, 1e-12)
+    t = jnp.einsum('ijd,ikd->ijk', d, d) / denom[:, :, None]
+    span_ok = ~collinear | ((t >= -eps) & (t <= 1.0 + eps))
+    pt_ok = ~mask[None, None, :] | (left_ok & span_ok)
+    valid = (mask[:, None] & mask[None, :] & (dlen > eps)
+             & jnp.all(pt_ok, axis=2))
+    jnp_eye = jnp.eye(k, dtype=bool)
+    valid = valid & ~jnp_eye
+    on_hull = jnp.any(valid, axis=1) & mask
+    nh = jnp.sum(on_hull)
+    c = jnp.sum(jnp.where(on_hull[:, None], pts, 0.0), axis=0) / \
+        jnp.maximum(nh, 1)
+    ang = jnp.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+    key = jnp.where(on_hull, ang, BIG)
+    # rank among hull verts by (angle, index)
+    smaller = (key[None, :] < key[:, None]) | \
+        ((key[None, :] == key[:, None])
+         & (jnp.arange(k)[None, :] < jnp.arange(k)[:, None]))
+    rank = jnp.sum(jnp.where(on_hull[None, :], smaller, False), axis=1)
+    out = jnp.zeros_like(pts)
+    idx = jnp.where(on_hull, rank, k - 1)
+    out = out.at[idx].set(jnp.where(on_hull[:, None], pts, 0.0), mode='drop')
+    return out, nh
+
+
+def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
+               nh: jnp.ndarray, keep_inside: bool, n_pieces: int = 4,
+               eps: float = 1e-7):
+    """Connected pieces of ring ∩ hull (keep_inside) or ring \\ hull.
+
+    Weiler–Atherton restricted to a convex CCW cutter in fixed shapes: walk
+    the subject ring keeping maximal runs on the requested side, then close
+    each run with the hull-boundary arc between its boundary crossings —
+    CCW along the hull for intersection pieces, CW for difference pieces.
+    Exact when those arcs do not leave the ring (true for the slicing flow,
+    whose cutters are carved at the block boundary; the host oracle is
+    geometry/ops.py clip_polygon_convex / difference_convex).
+
+    Returns (pieces (P, KV, 2), pieces_n (P,), overflow). A hull strictly
+    inside the ring (difference with a hole) cannot be represented: the full
+    ring is returned with overflow=True.
+    """
+    kv = ring.shape[0]
+    kh = hull.shape[0]
+    m = ring_mask(nvert, kv)
+    mh = ring_mask(nh, kh)
+    ha = hull
+    hb = ring_next(hull, nh)
+    hd = hb - ha
+    hlen = jnp.maximum(jnp.linalg.norm(hd, axis=-1), 1e-12)
+    hn = jnp.stack([-hd[:, 1], hd[:, 0]], axis=-1) / hlen[:, None]
+    off = jnp.einsum('kd,kd->k', ha, hn)
+    # signed distance of each ring vertex to each hull plane (+ = inside)
+    f = jnp.einsum('vd,kd->vk', ring, hn) - off[None, :]
+    f = jnp.where(mh[None, :], f, BIG)
+    fn = ring_next(f, nvert)
+    v_in = jnp.all(f >= -eps, axis=1)
+    v_in_nxt = ring_next(v_in, nvert)
+
+    # Liang–Barsky span of each ring edge against the hull
+    denom = f - fn
+    tk = f / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+    out_both = (f < -eps) & (fn < -eps)
+    ent_k = (f < -eps) & (fn >= -eps)                # constraint k turns on
+    exi_k = (f >= -eps) & (fn < -eps)                # constraint k turns off
+    t_en = jnp.max(jnp.where(ent_k, tk, 0.0), axis=1)
+    t_ex = jnp.min(jnp.where(exi_k, tk, 1.0), axis=1)
+    k_en = jnp.argmax(jnp.where(ent_k, tk, -BIG), axis=1)
+    k_ex = jnp.argmin(jnp.where(exi_k, tk, BIG), axis=1)
+    has_span = m & ~jnp.any(out_both, axis=1) & (t_en <= t_ex + eps)
+    nxt = ring_next(ring, nvert)
+    p_en = ring + t_en[:, None] * (nxt - ring)
+    p_ex = ring + t_ex[:, None] * (nxt - ring)
+    entry = (~v_in) & has_span                       # edge crosses into hull
+    exit_ = (~v_in_nxt) & has_span                   # edge crosses out
+
+    # emission slots per edge: [vertex, entry point, exit point]
+    ns = 3 * kv
+    emit_v = m & (v_in if keep_inside else ~v_in)
+    pos = jnp.stack([ring, p_en, p_ex], axis=1).reshape(ns, 2)
+    emit = jnp.stack([emit_v, entry & m, exit_ & m], axis=1).reshape(ns)
+    if keep_inside:
+        start = jnp.stack([jnp.zeros(kv, bool), entry & m,
+                           jnp.zeros(kv, bool)], axis=1).reshape(ns)
+        end = jnp.stack([jnp.zeros(kv, bool), jnp.zeros(kv, bool),
+                         exit_ & m], axis=1).reshape(ns)
+    else:
+        start = jnp.stack([jnp.zeros(kv, bool), jnp.zeros(kv, bool),
+                           exit_ & m], axis=1).reshape(ns)
+        end = jnp.stack([jnp.zeros(kv, bool), entry & m,
+                         jnp.zeros(kv, bool)], axis=1).reshape(ns)
+    plane = jnp.stack([jnp.zeros(kv, jnp.int32), k_en.astype(jnp.int32),
+                       k_ex.astype(jnp.int32)], axis=1).reshape(ns)
+
+    n_runs = jnp.sum(start)
+    # cyclic order starting at the first start event
+    first = jnp.argmax(start)
+    okey = jnp.mod(jnp.arange(ns) - first, ns)
+    skey = jnp.where(start, okey, ns + 1)
+    pid = jnp.sum(jnp.where(start[None, :],
+                            skey[None, :] <= okey[:, None], False),
+                  axis=1) - 1
+    pid = jnp.where(emit & (pid >= 0), pid, n_pieces + 1)
+    rank = jnp.sum((pid[None, :] == pid[:, None])
+                   & (okey[None, :] < okey[:, None]) & emit[None, :], axis=1)
+
+    chain_len = jnp.sum(
+        (pid[:, None] == jnp.arange(n_pieces)[None, :]) & emit[:, None],
+        axis=0)
+
+    # per-run boundary events: head = the run's first chain point, tail =
+    # its last; both lie on the hull boundary
+    def event_field(flag, val):
+        onehot = flag[:, None] & (pid[:, None] == jnp.arange(n_pieces))
+        return jnp.sum(jnp.where(onehot, val[:, None], 0), axis=0)
+
+    k_head = event_field(start, plane)
+    k_tail = event_field(end, plane)
+    xy_head = jnp.stack([event_field(start, pos[:, 0]),
+                         event_field(start, pos[:, 1])], axis=-1)
+    xy_tail = jnp.stack([event_field(end, pos[:, 0]),
+                         event_field(end, pos[:, 1])], axis=-1)
+    run_ok = jnp.arange(n_pieces) < n_runs
+    nh_s = jnp.maximum(nh, 1)
+    kt = jnp.clip(k_tail, 0, kh - 1)
+    khc = jnp.clip(k_head, 0, kh - 1)
+
+    # Weiler–Atherton run linking: each run closes by walking the hull
+    # boundary (CCW for intersection, CW for difference) from its tail to
+    # the NEAREST head along that walk — which may belong to a different
+    # run. Runs linked this way form cycles; each cycle is one connected
+    # piece. Arc-length coordinates along the hull order the events.
+    plane_len = jnp.where(mh, hlen, 0.0)
+    cum = jnp.cumsum(plane_len) - plane_len
+    L = jnp.maximum(jnp.sum(plane_len), 1e-12)
+    s_tail = cum[kt] + jnp.einsum('pd,pd->p', xy_tail - ha[kt], hd[kt]) \
+        / hlen[kt]
+    s_head = cum[khc] + jnp.einsum('pd,pd->p', xy_head - ha[khc], hd[khc]) \
+        / hlen[khc]
+    if keep_inside:
+        dmat = jnp.mod(s_head[None, :] - s_tail[:, None], L)
+    else:
+        dmat = jnp.mod(s_tail[:, None] - s_head[None, :], L)
+    dmat = jnp.where(run_ok[None, :], dmat, BIG)
+    idx = jnp.arange(n_pieces)
+    sigma = jnp.where(run_ok, jnp.argmin(dmat, axis=1), idx)
+
+    # hull corners on the closing arc from tail(r) to head(sigma(r))
+    k_head_s = k_head[sigma]
+    xy_head_s = xy_head[sigma]
+    s_along = jnp.einsum('pd,pd->p', xy_head_s - xy_tail, hd[kt])
+    if keep_inside:
+        count = jnp.mod(k_head_s - k_tail, nh_s)
+        direct = s_along >= 0
+        c_idx = jnp.mod(k_tail[:, None] + 1 + jnp.arange(kh)[None, :], nh_s)
+    else:
+        count = jnp.mod(k_tail - k_head_s, nh_s)
+        direct = s_along <= 0
+        c_idx = jnp.mod(k_tail[:, None] - jnp.arange(kh)[None, :], nh_s)
+    same = (count == 0) & ~direct
+    count = jnp.where(same, nh_s, count)
+    count = jnp.where(run_ok, count, 0)
+
+    # cycles of sigma: representative = min run index reachable; emission
+    # offset = total output of the runs walked from the representative
+    rep = idx
+    it = idx
+    for _ in range(n_pieces):
+        it = sigma[it]
+        rep = jnp.minimum(rep, it)
+    run_total = chain_len + count
+    off = jnp.zeros(n_pieces, jnp.int32)
+    cur = rep
+    for _ in range(n_pieces):
+        not_done = cur != idx
+        off = off + jnp.where(not_done, run_total[cur], 0)
+        cur = jnp.where(not_done, sigma[cur], cur)
+    is_rep = run_ok & (rep == idx)
+    piece_total = jnp.sum(
+        jnp.where((rep[None, :] == idx[:, None]) & run_ok[None, :],
+                  run_total[None, :], 0), axis=1)
+    pieces_n = jnp.where(is_rep, piece_total, 0)
+
+    # scatter subject chains at their per-run offsets inside their piece
+    pieces = jnp.zeros((n_pieces + 2, kv, 2), dtype=ring.dtype)
+    pid_c = jnp.clip(pid, 0, n_pieces - 1)
+    sc_p = jnp.where(emit & (pid < n_pieces), rep[pid_c], n_pieces + 1)
+    sc_r = rank + off[pid_c]
+    sc_r = jnp.where(emit & (sc_r < kv), sc_r, kv + 1)
+    pieces = pieces.at[sc_p, sc_r].set(pos, mode='drop')
+
+    # scatter closing-arc hull corners
+    corner = hull[c_idx]                              # (P, KH, 2)
+    c_valid = (jnp.arange(kh)[None, :] < count[:, None]) & run_ok[:, None]
+    c_pos = (off + chain_len)[:, None] + jnp.arange(kh)[None, :]
+    sc_cp = jnp.where(c_valid & (c_pos < kv), c_pos, kv + 1)
+    pieces = pieces.at[rep[:, None], sc_cp].set(corner, mode='drop')
+
+    overflow = (n_runs > n_pieces) | jnp.any(pieces_n > kv)
+
+    # no-crossing global cases
+    any_out = jnp.any(m & ~v_in)
+    all_out = jnp.all(~v_in | ~m)
+    hc = jnp.sum(jnp.where(mh[:, None], hull, 0.0), axis=0) / nh_s
+    hull_in_ring = point_in_ring(hc, ring, nvert)
+    no_ev = n_runs == 0
+    if keep_inside:
+        # ring inside hull -> ring; hull inside ring -> hull; disjoint -> 0
+        take_ring = no_ev & ~any_out
+        take_hull = no_ev & all_out & hull_in_ring
+        p0 = jnp.where(take_ring, jnp.pad(ring, ((0, 0), (0, 0))),
+                       pieces[0])
+        hpad = jnp.zeros((kv, 2), ring.dtype).at[:kh].set(hull)
+        p0 = jnp.where(take_hull, hpad, p0)
+        n0 = jnp.where(take_ring, nvert,
+                       jnp.where(take_hull, nh, pieces_n[0]))
+        pieces = pieces.at[0].set(p0)
+        pieces_n = pieces_n.at[0].set(n0)
+    else:
+        # disjoint (or hull-hole) -> ring; ring inside hull -> 0 pieces
+        take_ring = no_ev & any_out
+        pieces = pieces.at[0].set(jnp.where(take_ring, ring, pieces[0]))
+        pieces_n = pieces_n.at[0].set(jnp.where(take_ring, nvert,
+                                                pieces_n[0]))
+        overflow = overflow | (no_ev & any_out & hull_in_ring)
+
+    pieces = pieces[:n_pieces]
+    pieces_n = pieces_n[:n_pieces]
+    pieces, pieces_n = jax.vmap(dedupe_ring)(pieces, pieces_n)
+    return pieces, pieces_n, overflow
+
+
+def dp_simplify_ring(ring: jnp.ndarray, nvert: jnp.ndarray, tol):
+    """Faithful jit Douglas–Peucker ring simplify (host oracle:
+    geometry/ops.py simplify_ring_dp; reference GEOS simplify,
+    plan_client.py:473-512).
+
+    Matches the host exactly: the ring is rotated to start at its extreme
+    vertex (max distance from the closed-ring vertex mean) and anchored
+    there and at the opposite mid vertex; then, per chord between
+    consecutive kept vertices, the farthest vertex beyond tol is added —
+    the chord-parallel formulation of recursive DP (every pass splits all
+    violating chords at once, so KV passes reach the same fixpoint).
+    Rings with <= 4 vertices pass through; results that collapse below 3
+    vertices fall back to the input. Output is rotated to start at the
+    anchor, like the host. Returns (out_ring, out_nvert)."""
+    kv = ring.shape[0]
+    m = ring_mask(nvert, kv)
+    n = jnp.maximum(nvert, 1)
+    pos = jnp.arange(kv)
+    # host: closed = vstack([ring, ring[:1]]), mean over the n+1 rows
+    cmean = (jnp.sum(jnp.where(m[:, None], ring, 0.0), axis=0) + ring[0]) \
+        / (n + 1)
+    dc = jnp.where(m, jnp.linalg.norm(ring - cmean, axis=-1), -1.0)
+    start = jnp.argmax(dc)
+    # rotate so the anchor is vertex 0 (one-hot matmul, gather-free)
+    src = jnp.mod(start + pos, n)
+    onehot = (src[:, None] == pos[None, :]) & m[None, :]
+    rr = jnp.einsum('ij,jd->id', onehot.astype(ring.dtype), ring)
+
+    mid = (n + 1) // 2
+    kept0 = (pos == 0) | (pos == mid)
+
+    def body(_, kept):
+        kept_m = kept & m
+        pk = jax.lax.cummax(jnp.where(kept_m, pos, -1))
+        nk = jax.lax.cummin(jnp.where(kept_m, pos, 2 * kv)[::-1])[::-1]
+        # positions after the last kept close against rolled index n == 0
+        a = rr[jnp.clip(pk, 0, kv - 1)]
+        b = jnp.where((nk >= kv)[:, None], rr[0], rr[jnp.clip(nk, 0,
+                                                              kv - 1)])
+        d = point_segment_distance(rr, a, b)
+        cand = m & ~kept_m & (pos < n)
+        d = jnp.where(cand, d, -1.0)
+        same_chord = pk[None, :] == pk[:, None]
+        chord_max = jnp.max(jnp.where(same_chord, d[None, :], -1.0), axis=1)
+        earlier_ge = jnp.any(same_chord & (pos[None, :] < pos[:, None])
+                             & (d[None, :] >= d[:, None]), axis=1)
+        winner = cand & (d > tol) & (d >= chord_max) & ~earlier_ge
+        return kept | winner
+
+    kept = jax.lax.fori_loop(0, kv, body, kept0)
+    kept = kept & m
+    # compact in rolled order, then consecutive-duplicate cleanup
+    counts = kept.astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts
+    out = jnp.zeros_like(ring)
+    idx = jnp.where(kept, offsets, kv - 1)
+    out = out.at[idx].set(jnp.where(kept[:, None], rr, 0.0), mode='drop')
+    nkeep = jnp.sum(counts)
+    out, nkeep = dedupe_ring(out, nkeep)
+    passthrough = (nvert <= 4) | (nkeep < 3)
+    return (jnp.where(passthrough, ring, out),
+            jnp.where(passthrough, nvert, nkeep))
+
+
+def insert_points_on_ring(ring: jnp.ndarray, nvert: jnp.ndarray,
+                          pts: jnp.ndarray, alive: jnp.ndarray, tol,
+                          max_insert: int = 8):
+    """Insert alive points lying on ring edges (within tol, strictly between
+    the endpoints) as new vertices, in order along each edge — the jit
+    mirror of the host snap's insert step (geometry/ops.py
+    _insert_on_segments; reference GEOS snap, plan_client.py:473-512).
+
+    Returns (out_ring, out_nvert, overflow)."""
+    kv = ring.shape[0]
+    npt = pts.shape[0]
+    m = ring_mask(nvert, kv)
+    a = ring
+    b = ring_next(ring, nvert)
+    d = point_segment_distance(pts[None, :, :], a[:, None], b[:, None])
+    near_a = jnp.linalg.norm(pts[None, :, :] - a[:, None], axis=-1) <= tol
+    near_b = jnp.linalg.norm(pts[None, :, :] - b[:, None], axis=-1) <= tol
+    hit = m[:, None] & alive[None, :] & (d <= tol) & ~near_a & ~near_b
+    ab = b - a
+    denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-12)
+    t = (jnp.einsum('pd,vd->vp', pts, ab)
+         - jnp.einsum('vd,vd->v', a, ab)[:, None]) / denom[:, None]
+
+    flat_hit = hit.reshape(-1)
+    n_ins = jnp.sum(flat_hit)
+    overflow = (n_ins > max_insert) | (nvert + n_ins > kv)
+    edge_of = jnp.broadcast_to(jnp.arange(kv)[:, None], (kv, npt)).reshape(-1)
+    t_of = t.reshape(-1)
+    pos_of = jnp.broadcast_to(pts[None, :, :], (kv, npt, 2)).reshape(-1, 2)
+    vals = jnp.concatenate([edge_of[:, None].astype(jnp.float32),
+                            t_of[:, None].astype(jnp.float32), pos_of],
+                           axis=1)
+    cand = rank_compact(flat_hit, vals, max_insert)   # (I, 4)
+    c_ok = jnp.arange(max_insert) < jnp.minimum(n_ins, max_insert)
+    c_edge = cand[:, 0].astype(jnp.int32)
+    c_t = cand[:, 1]
+    c_pos = cand[:, 2:4]
+    # output index: vertices shift by the candidates on earlier edges;
+    # candidates order by (edge, t, slot)
+    v_out = jnp.arange(kv) + jnp.sum(
+        jnp.where(c_ok[None, :], c_edge[None, :] < jnp.arange(kv)[:, None],
+                  False), axis=1)
+    before = (c_edge[None, :] < c_edge[:, None]) | \
+        ((c_edge[None, :] == c_edge[:, None])
+         & ((c_t[None, :] < c_t[:, None])
+            | ((c_t[None, :] == c_t[:, None])
+               & (jnp.arange(max_insert)[None, :]
+                  < jnp.arange(max_insert)[:, None]))))
+    c_out = c_edge + 1 + jnp.sum(jnp.where(c_ok[None, :], before, False),
+                                 axis=1)
+    out = jnp.zeros_like(ring)
+    out = out.at[jnp.where(m, v_out, kv + 1)].set(ring, mode='drop')
+    out = out.at[jnp.where(c_ok, c_out, kv + 1)].set(c_pos, mode='drop')
+    return out, jnp.minimum(nvert + n_ins, kv), overflow
+
+
+def rank_compact(flags: jnp.ndarray, values: jnp.ndarray,
+                 out_size: int) -> jnp.ndarray:
+    """out[j] = values[p] for the p with rank j among flagged positions.
+
+    TPU-native compaction: ranks from a cumsum are nondecreasing, so the
+    gather-by-rank is a SORTED segment-sum — the one scatter form TPUs
+    execute vectorized (sorts/searchsorted/unsorted scatters all serialize).
+    values: (n,) or (n, d) numeric; positions beyond the flagged count give 0.
+    """
+    r = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    onehot = flags[:, None] & (r[:, None] == jnp.arange(out_size)[None, :])
+    acc = jnp.float64 if values.dtype == jnp.float64 else jnp.float32
+    v = values.astype(acc)
+    squeeze = v.ndim == 1
+    if squeeze:
+        v = v[:, None]
+    # TPU matmuls default to bf16 passes; index values exceed bf16's integer
+    # range, so force full f32 precision (exact for ints < 2^24). The
+    # accumulator keeps the input's width (f64 stays f64 under x64 test
+    # runs, where 1e-9-exact coordinates matter). Callers keep n*out_size
+    # bounded (two-stage compaction for large inputs).
+    out = jnp.einsum('no,nd->od', onehot.astype(acc), v,
+                     preferred_element_type=acc,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = out.astype(values.dtype)
+    return out[:, 0] if squeeze else out

@@ -393,28 +393,7 @@ def ring_shape_metrics(ring, nv):
 # slot allocation helpers
 # ---------------------------------------------------------------------------
 
-def rank_compact(flags: jnp.ndarray, values: jnp.ndarray,
-                 out_size: int) -> jnp.ndarray:
-    """out[j] = values[p] for the p with rank j among flagged positions.
-
-    TPU-native compaction: ranks from a cumsum are nondecreasing, so the
-    gather-by-rank is a SORTED segment-sum — the one scatter form TPUs
-    execute vectorized (sorts/searchsorted/unsorted scatters all serialize).
-    values: (n,) or (n, d) numeric; positions beyond the flagged count give 0.
-    """
-    r = jnp.cumsum(flags.astype(jnp.int32)) - 1
-    onehot = flags[:, None] & (r[:, None] == jnp.arange(out_size)[None, :])
-    v = values.astype(jnp.float32)
-    squeeze = v.ndim == 1
-    if squeeze:
-        v = v[:, None]
-    # TPU matmuls default to bf16 passes; index values exceed bf16's integer
-    # range, so force full f32 precision (exact for ints < 2^24). Callers
-    # keep n*out_size bounded (two-stage compaction for large inputs).
-    out = jnp.einsum('no,nd->od', onehot.astype(jnp.float32), v,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    return out[:, 0] if squeeze else out
+rank_compact = jg.rank_compact
 
 
 def free_slots(alive: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
