@@ -26,6 +26,8 @@ import numpy as np
 from urban_tpu.geometry.base import Geometry, POINT, LINE, POLY
 
 EPS = 1e-9
+# shared host/jit minimum-rotated-rectangle area-tie window (relative)
+MRR_REL_TOL = 1e-5
 
 
 # ---------------------------------------------------------------------------
@@ -524,8 +526,13 @@ def min_rotated_rect(points: np.ndarray) -> np.ndarray:
     if len(hull) == 2:
         return np.array([hull[0], hull[1], hull[1], hull[0]])
     best_area = math.inf
+    best_theta = math.inf
     best_rect = None
     n = len(hull)
+    # Equal-area orientations are broken by canonical angle in [0, pi) with
+    # a relative area tolerance — the jitted tier (jaxenv/slicer.py mrr_of)
+    # applies the identical rule, so both tiers pick the same rectangle even
+    # when f32 rounding perturbs a mathematically exact tie.
     for i in range(n):
         d = hull[(i + 1) % n] - hull[i]
         nd = np.linalg.norm(d)
@@ -533,13 +540,19 @@ def min_rotated_rect(points: np.ndarray) -> np.ndarray:
             continue
         ux = d / nd
         uy = np.array([-ux[1], ux[0]])
+        cx, cy = (ux if (ux[1] > 0 or (ux[1] == 0 and ux[0] > 0))
+                  else -ux)
+        theta = math.atan2(cy, cx)
         proj_x = hull @ ux
         proj_y = hull @ uy
         w = proj_x.max() - proj_x.min()
         h = proj_y.max() - proj_y.min()
         area = w * h
-        if area < best_area:
-            best_area = area
+        better = area < best_area * (1.0 - MRR_REL_TOL)
+        tied = area <= best_area * (1.0 + MRR_REL_TOL)
+        if better or (tied and theta < best_theta - 1e-12):
+            best_area = min(area, best_area)
+            best_theta = theta
             x0, x1 = proj_x.min(), proj_x.max()
             y0, y1 = proj_y.min(), proj_y.max()
             best_rect = np.array([

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 BIG = 1e30
+FLT_EPS = 1.1920929e-7   # np.finfo(np.float32).eps
 
 
 def ring_mask(nvert: jnp.ndarray, kv: int) -> jnp.ndarray:
@@ -53,18 +54,19 @@ def ring_prev(x: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
 
 def ring_area(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
     """Unsigned polygon area of a masked ring buffer (KV, 2)."""
-    kv = ring.shape[0]
-    m = ring_mask(nvert, kv)
-    nxt = ring_next(ring, nvert)
-    cross = ring[:, 0] * nxt[:, 1] - nxt[:, 0] * ring[:, 1]
-    return 0.5 * jnp.abs(jnp.sum(jnp.where(m, cross, 0.0)))
+    return jnp.abs(ring_signed_area(ring, nvert))
 
 
 def ring_signed_area(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
+    # shoelace on vertex-0-centered coordinates: translation-invariant, so
+    # the f32 products stay at feature scale (~1e5) instead of absolute
+    # coordinate scale (~1e6) — a 50x noise reduction that matters for the
+    # degenerate-piece (area ~ 0) thresholds downstream
     kv = ring.shape[0]
     m = ring_mask(nvert, kv)
-    nxt = ring_next(ring, nvert)
-    cross = ring[:, 0] * nxt[:, 1] - nxt[:, 0] * ring[:, 1]
+    r0 = ring - ring[0]
+    nxt = ring_next(r0, nvert)
+    cross = r0[:, 0] * nxt[:, 1] - nxt[:, 0] * r0[:, 1]
     return 0.5 * jnp.sum(jnp.where(m, cross, 0.0))
 
 
@@ -80,16 +82,19 @@ def ring_centroid(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
     """Area centroid; falls back to vertex mean for degenerate rings."""
     kv = ring.shape[0]
     m = ring_mask(nvert, kv)
-    nxt = ring_next(ring, nvert)
-    cross = ring[:, 0] * nxt[:, 1] - nxt[:, 0] * ring[:, 1]
+    r0 = ring - ring[0]               # vertex-0-centered (see ring_signed_area)
+    nxt = ring_next(r0, nvert)
+    cross = r0[:, 0] * nxt[:, 1] - nxt[:, 0] * r0[:, 1]
     cross = jnp.where(m, cross, 0.0)
     a = jnp.sum(cross) / 2.0
-    cx = jnp.sum((ring[:, 0] + nxt[:, 0]) * cross) / 6.0
-    cy = jnp.sum((ring[:, 1] + nxt[:, 1]) * cross) / 6.0
+    cx = jnp.sum((r0[:, 0] + nxt[:, 0]) * cross) / 6.0
+    cy = jnp.sum((r0[:, 1] + nxt[:, 1]) * cross) / 6.0
     safe = jnp.abs(a) > 1e-9
     mean = jnp.sum(jnp.where(m[:, None], ring, 0.0), axis=0) / \
         jnp.maximum(nvert, 1)
-    return jnp.where(safe, jnp.stack([cx, cy]) / jnp.where(safe, a, 1.0), mean)
+    return jnp.where(safe,
+                     ring[0] + jnp.stack([cx, cy]) / jnp.where(safe, a, 1.0),
+                     mean)
 
 
 def ring_bounds(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
@@ -168,7 +173,10 @@ def halfplane_clip_ring(ring: jnp.ndarray, nvert: jnp.ndarray,
     nrm = jnp.stack([-d[1], d[0]])
     nrm = jnp.where(keep_left, nrm, -nrm)
     m = ring_mask(nvert, kv)
-    side = jnp.einsum('kd,d->k', ring - a, nrm)
+    # coordinate dots stay in full f32: TPU dot_generals default to bf16
+    # passes, which rounds ~1e3-magnitude coordinates to steps of ~8
+    side = jnp.einsum('kd,d->k', ring - a, nrm,
+                      precision=jax.lax.Precision.HIGHEST)
     side_nxt = ring_next(side, nvert)
     ring_nxt = ring_next(ring, nvert)
 
@@ -303,13 +311,23 @@ def convex_hull_masked(pts: jnp.ndarray, mask: jnp.ndarray,
     # cross[i, j, k] = (j - i) x (k - i)
     cross = d[:, :, None, 0] * d[:, None, :, 1] - \
         d[:, :, None, 1] * d[:, None, :, 0]
-    tolc = eps * jnp.maximum(dlen, eps)[:, :, None]
+    # XLA contracts a*b - c*d to fma(a, b, -c*d): even the identically-zero
+    # self-cross (j-i)x(j-i) comes back as ±ulp(|d|^2) ≈ 5e-4 at these
+    # coordinate scales. Scale the tolerance with BOTH leg lengths (the
+    # cross magnitude) so FMA noise can never outvote it, and exempt the
+    # edge's own endpoints, which satisfy the halfplane test identically.
+    tolc = jnp.maximum(eps * dlen[:, :, None],
+                       32 * FLT_EPS * dlen[:, :, None] * dlen[:, None, :])
     left_ok = cross >= -tolc
     collinear = jnp.abs(cross) <= tolc
     denom = jnp.maximum(dlen * dlen, 1e-12)
-    t = jnp.einsum('ijd,ikd->ijk', d, d) / denom[:, :, None]
+    t = jnp.einsum('ijd,ikd->ijk', d, d,
+                   precision=jax.lax.Precision.HIGHEST) / denom[:, :, None]
     span_ok = ~collinear | ((t >= -eps) & (t <= 1.0 + eps))
-    pt_ok = ~mask[None, None, :] | (left_ok & span_ok)
+    idk = jnp.arange(k)
+    is_end = (idk[None, None, :] == idk[:, None, None]) | \
+        (idk[None, None, :] == idk[None, :, None])
+    pt_ok = ~mask[None, None, :] | is_end | (left_ok & span_ok)
     valid = (mask[:, None] & mask[None, :] & (dlen > eps)
              & jnp.all(pt_ok, axis=2))
     jnp_eye = jnp.eye(k, dtype=bool)
@@ -333,7 +351,16 @@ def convex_hull_masked(pts: jnp.ndarray, mask: jnp.ndarray,
 
 def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
                nh: jnp.ndarray, keep_inside: bool, n_pieces: int = 4,
-               eps: float = 1e-7):
+               eps: float = 0.05, t_eps: float = 1e-3):
+    # eps: side-of-plane slack for ring vertices, in grid units. When a
+    # hull vertex is an f32-snapped crossing ON a ring edge, the plane
+    # through it tilts off the edge by ~ulp(coord); the lever arm to a far
+    # ring vertex amplifies that to ~1e-2 — measured, not hypothetical —
+    # so exactly-collinear configurations (parcel corner cut into a block
+    # edge) need ~0.05 slack to classify like the float64 host. The engine
+    # snaps ALL geometry at 1 grid unit (SNAP_EPSILON), so nothing
+    # meaningful lives below that scale. t_eps is the span slack in edge
+    # parameter space (unitless), kept tight.
     """Connected pieces of ring ∩ hull (keep_inside) or ring \\ hull.
 
     Weiler–Atherton restricted to a convex CCW cutter in fixed shapes: walk
@@ -357,9 +384,13 @@ def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
     hd = hb - ha
     hlen = jnp.maximum(jnp.linalg.norm(hd, axis=-1), 1e-12)
     hn = jnp.stack([-hd[:, 1], hd[:, 0]], axis=-1) / hlen[:, None]
-    off = jnp.einsum('kd,kd->k', ha, hn)
-    # signed distance of each ring vertex to each hull plane (+ = inside)
-    f = jnp.einsum('vd,kd->vk', ring, hn) - off[None, :]
+    # signed distance of each ring vertex to each hull plane (+ = inside).
+    # Subtract the plane anchor BEFORE the dot: dot(v,n)-dot(a,n) cancels
+    # two ~1e3-magnitude f32 dots and leaves ~2e-4 noise — enough to push a
+    # ring vertex that IS a hull vertex to the wrong side. dot(v-a, n) is
+    # translation-invariant and keeps the error at the ~1e-5 product level.
+    f = jnp.sum((ring[:, None, :] - ha[None, :, :]) * hn[None, :, :],
+                axis=-1)
     f = jnp.where(mh[None, :], f, BIG)
     fn = ring_next(f, nvert)
     v_in = jnp.all(f >= -eps, axis=1)
@@ -375,7 +406,7 @@ def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
     t_ex = jnp.min(jnp.where(exi_k, tk, 1.0), axis=1)
     k_en = jnp.argmax(jnp.where(ent_k, tk, -BIG), axis=1)
     k_ex = jnp.argmin(jnp.where(exi_k, tk, BIG), axis=1)
-    has_span = m & ~jnp.any(out_both, axis=1) & (t_en <= t_ex + eps)
+    has_span = m & ~jnp.any(out_both, axis=1) & (t_en <= t_ex + t_eps)
     nxt = ring_next(ring, nvert)
     p_en = ring + t_en[:, None] * (nxt - ring)
     p_ex = ring + t_ex[:, None] * (nxt - ring)
@@ -441,22 +472,38 @@ def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
     plane_len = jnp.where(mh, hlen, 0.0)
     cum = jnp.cumsum(plane_len) - plane_len
     L = jnp.maximum(jnp.sum(plane_len), 1e-12)
-    s_tail = cum[kt] + jnp.einsum('pd,pd->p', xy_tail - ha[kt], hd[kt]) \
+    s_tail = cum[kt] + jnp.einsum('pd,pd->p', xy_tail - ha[kt], hd[kt],
+                                  precision=jax.lax.Precision.HIGHEST) \
         / hlen[kt]
-    s_head = cum[khc] + jnp.einsum('pd,pd->p', xy_head - ha[khc], hd[khc]) \
+    s_head = cum[khc] + jnp.einsum('pd,pd->p', xy_head - ha[khc], hd[khc],
+                                   precision=jax.lax.Precision.HIGHEST) \
         / hlen[khc]
     if keep_inside:
         dmat = jnp.mod(s_head[None, :] - s_tail[:, None], L)
     else:
         dmat = jnp.mod(s_tail[:, None] - s_head[None, :], L)
-    dmat = jnp.where(run_ok[None, :], dmat, BIG)
     idx = jnp.arange(n_pieces)
+    # Drop degenerate runs: a subject vertex exactly ON the hull boundary
+    # whose neighbors are both on the other side generates an entry+exit
+    # pair at one point — a zero-extent run that would self-link at
+    # distance 0 and steal the cycle from the real runs (the touch point
+    # still appears in the real piece, as a hull-arc corner).
+    onehot_run = (pid[:, None] == idx[None, :]) & emit[:, None]   # (ns, P)
+    ext = jnp.max(jnp.where(
+        onehot_run,
+        jnp.linalg.norm(pos[:, None, :] - xy_head[None, :, :], axis=-1),
+        0.0), axis=0)
+    diag = jnp.diagonal(dmat)
+    degenerate = run_ok & (diag <= 1e-3) & (ext <= 1e-3)
+    run_ok = run_ok & ~degenerate
+    dmat = jnp.where(run_ok[None, :], dmat, BIG)
     sigma = jnp.where(run_ok, jnp.argmin(dmat, axis=1), idx)
 
     # hull corners on the closing arc from tail(r) to head(sigma(r))
     k_head_s = k_head[sigma]
     xy_head_s = xy_head[sigma]
-    s_along = jnp.einsum('pd,pd->p', xy_head_s - xy_tail, hd[kt])
+    s_along = jnp.einsum('pd,pd->p', xy_head_s - xy_tail, hd[kt],
+                         precision=jax.lax.Precision.HIGHEST)
     if keep_inside:
         count = jnp.mod(k_head_s - k_tail, nh_s)
         direct = s_along >= 0
@@ -564,7 +611,9 @@ def dp_simplify_ring(ring: jnp.ndarray, nvert: jnp.ndarray, tol):
     # rotate so the anchor is vertex 0 (one-hot matmul, gather-free)
     src = jnp.mod(start + pos, n)
     onehot = (src[:, None] == pos[None, :]) & m[None, :]
-    rr = jnp.einsum('ij,jd->id', onehot.astype(ring.dtype), ring)
+    rr = jnp.einsum('ij,jd->id', onehot.astype(ring.dtype), ring,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST).astype(ring.dtype)
 
     mid = (n + 1) // 2
     kept0 = (pos == 0) | (pos == mid)
@@ -622,8 +671,11 @@ def insert_points_on_ring(ring: jnp.ndarray, nvert: jnp.ndarray,
     hit = m[:, None] & alive[None, :] & (d <= tol) & ~near_a & ~near_b
     ab = b - a
     denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-12)
-    t = (jnp.einsum('pd,vd->vp', pts, ab)
-         - jnp.einsum('vd,vd->v', a, ab)[:, None]) / denom[:, None]
+    t = (jnp.einsum('pd,vd->vp', pts, ab,
+                    precision=jax.lax.Precision.HIGHEST)
+         - jnp.einsum('vd,vd->v', a, ab,
+                      precision=jax.lax.Precision.HIGHEST)[:, None]) \
+        / denom[:, None]
 
     flat_hit = hit.reshape(-1)
     n_ins = jnp.sum(flat_hit)

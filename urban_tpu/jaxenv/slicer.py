@@ -78,30 +78,46 @@ def envelope_of(pts: jnp.ndarray) -> jnp.ndarray:
                       jnp.stack([lo[0], hi[1]])])
 
 
-def mrr_of(pts: jnp.ndarray) -> jnp.ndarray:
-    """Exact minimum rotated rectangle of a small point set (4, 2) CCW.
+MRR_REL_TOL = 1e-5   # keep in sync with geometry/ops.py MRR_REL_TOL
 
-    Candidate directions are all point pairs — a superset of the hull edge
-    directions, over which the minimum-area enclosing rectangle is attained
-    (host ops.min_rotated_rect iterates hull edges only)."""
+
+def mrr_of(pts: jnp.ndarray) -> jnp.ndarray:
+    """Minimum rotated rectangle of a small point set, (4, 2) CCW.
+
+    Mirrors host ops.min_rotated_rect: candidate directions are the hull
+    edges, and equal-area orientations (within MRR_REL_TOL relative) break
+    by canonical angle in [0, pi) — WITHOUT this shared tie-break, an f32
+    rounding flip under jit picks a different (equal-area) rectangle than
+    the float64 host and the plans diverge."""
     n = pts.shape[0]
-    ii, jj = jnp.triu_indices(n, k=1)
-    d = pts[jj] - pts[ii]                        # (M, 2)
+    hull, nh = jg.convex_hull_masked(pts, jnp.ones(n, bool))
+    mh = jg.ring_mask(nh, n)
+    d = jg.ring_next(hull, nh) - hull            # (N, 2) hull edges
     nd = jnp.linalg.norm(d, axis=-1)
-    ok = nd > 1e-9
-    u = d / jnp.maximum(nd, 1e-9)[:, None]       # (M, 2)
+    ok = mh & (nd > 1e-9)
+    u = d / jnp.maximum(nd, 1e-9)[:, None]       # (N, 2)
     v = jnp.stack([-u[:, 1], u[:, 0]], axis=-1)
-    px = pts @ u.T                               # (N, M)
-    py = pts @ v.T
+    hp = jax.lax.Precision.HIGHEST               # exact f32 coordinate dots
+    px = jnp.einsum('nd,md->nm', hull, u, precision=hp)   # (N pts, M dirs)
+    py = jnp.einsum('nd,md->nm', hull, v, precision=hp)
+    px = jnp.where(mh[:, None], px, px[0][None, :])   # pad rows -> point 0
+    py = jnp.where(mh[:, None], py, py[0][None, :])
     w = px.max(axis=0) - px.min(axis=0)
     h = py.max(axis=0) - py.min(axis=0)
     area = jnp.where(ok, w * h, jg.BIG)
-    k = jnp.argmin(area)
+    amin = area.min()
+    flip = (u[:, 1] < 0) | ((u[:, 1] == 0) & (u[:, 0] < 0))
+    uc = jnp.where(flip[:, None], -u, u)
+    theta = jnp.arctan2(uc[:, 1], uc[:, 0])
+    tied = ok & (area <= amin * (1.0 + MRR_REL_TOL))
+    k = jnp.argmin(jnp.where(tied, theta, jg.BIG))
     any_ok = jnp.any(ok)
     uk = jnp.where(any_ok, u[k], jnp.array([1.0, 0.0]))
     vk = jnp.stack([-uk[1], uk[0]])
-    x0, x1 = (pts @ uk).min(), (pts @ uk).max()
-    y0, y1 = (pts @ vk).min(), (pts @ vk).max()
+    pu = jnp.where(mh, jnp.sum(hull * uk[None, :], axis=-1), jg.BIG)
+    pv = jnp.where(mh, jnp.sum(hull * vk[None, :], axis=-1), jg.BIG)
+    x0, x1 = pu.min(), jnp.where(mh, pu, -jg.BIG).max()
+    y0, y1 = pv.min(), jnp.where(mh, pv, -jg.BIG).max()
     return jnp.stack([uk * x0 + vk * y0, uk * x1 + vk * y0,
                       uk * x1 + vk * y1, uk * x0 + vk * y1])
 
@@ -118,13 +134,34 @@ def point_in_ring_tol(p, ring, nv, tol: float = 1e-9):
 
 def interval_concave(ring, nv, p_c, p_1, p_2):
     """True when the interior angle p_1—p_c—p_2 is concave
-    (host check_interval_angle)."""
+    (host check_interval_angle).
+
+    The host probes a point EPS=1e-4 inward from p_c and asks point_in_ring
+    — sound in float64, but the f32 ULP at coordinates ~1e3 is ~1e-4, so a
+    geometric probe collapses onto the boundary here.  p_c is always a ring
+    vertex in every call site, so the probe is equivalent to an exact
+    interior-cone sector test on the two boundary rays at p_c: the chord
+    direction lies strictly inside the CCW sector from the outgoing edge to
+    the ray back to the previous vertex iff the probe stays inside."""
     p_t = 0.5 * (p_1 + p_2)
     d = p_t - p_c
     nd = jnp.linalg.norm(d)
     degen = nd < 1e-9
-    probe = p_c + d / jnp.maximum(nd, 1e-9) * jnp.minimum(EPS, nd)
-    inside = point_in_ring_tol(probe, ring, nv)
+    kv = ring.shape[0]
+    m = jg.ring_mask(nv, kv)
+    vd = jnp.where(m, jnp.linalg.norm(ring - p_c, axis=-1), jg.BIG)
+    vi = jnp.argmin(vd)
+    found = vd[vi] <= EPS
+    nxt_idx = jg.ring_roll_indices(nv, kv)
+    prv_idx = jnp.where(jnp.arange(kv) == 0, jnp.maximum(nv - 1, 0),
+                        jnp.arange(kv) - 1)
+    eo = ring[nxt_idx[vi]] - ring[vi]      # outgoing boundary ray
+    av = ring[prv_idx[vi]] - ring[vi]      # ray back to the previous vertex
+    c1 = eo[0] * d[1] - eo[1] * d[0]       # cross(eo, d)
+    c2 = d[0] * av[1] - d[1] * av[0]       # cross(d, av)
+    cs = eo[0] * av[1] - eo[1] * av[0]     # cross(eo, av): sector span
+    inside = jnp.where(cs >= 0, (c1 > 0) & (c2 > 0), (c1 > 0) | (c2 > 0))
+    inside = inside & found
     angle = abs_angle_deg(p_1 - p_c, p_2 - p_c)
     return degen | ~inside | (angle > THRES_DEG_U - EPS)
 
@@ -272,8 +309,9 @@ def quad_side_distances(pts, quad):
     b = jnp.roll(quad, -1, axis=0)
     d = b - a                                        # (4, 2)
     nrm = jnp.stack([-d[:, 1], d[:, 0]], axis=-1)    # inward normals (CCW)
-    return jnp.einsum('nd,qd->nq', pts, nrm) - \
-        jnp.einsum('qd,qd->q', a, nrm)[None, :]
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.einsum('nd,qd->nq', pts, nrm, precision=hp) - \
+        jnp.einsum('qd,qd->q', a, nrm, precision=hp)[None, :]
 
 
 def _count_outside_arcs(ring, nv, quad):
@@ -295,10 +333,18 @@ def part_edge_cut(ring, nv, a, b, max_buffer_m, thres_dis_m, lp: LuParams):
     into >= 2 pieces, else shallow (max_buffer)."""
     mid = 0.5 * (a + b)
     d = b - a
-    nrm = jnp.stack([-d[1], d[0]])
-    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm), 1e-9)
-    left_in = jg.point_in_ring(mid + nrm * 2 * EPS, ring, nv)
-    sign = jnp.where(left_in, 1.0, -1.0)
+    # Host probes 2*EPS off each side of the edge and compares clipped
+    # areas — again below the f32 ULP at these coordinates.  Every call
+    # site's (a, b) lies along a ring boundary edge, so the interior side
+    # is exactly the left of the ring's CCW travel direction there: sign
+    # from the alignment of b-a with the nearest boundary segment.
+    segs, segm = jg.ring_segments(ring, nv)
+    ds = jnp.where(segm, jg.point_segment_distance(mid, segs[:, 0],
+                                                   segs[:, 1]), jg.BIG)
+    si = jnp.argmin(ds)
+    tdir = segs[si, 1] - segs[si, 0]
+    hp = jnp.sum(d * tdir)
+    sign = jnp.where(hp >= 0, 1.0, -1.0)
     deep = jg.oriented_rect(a, b, sign * (max_buffer_m + thres_dis_m)
                             / lp.cell)
     shallow = jg.oriented_rect(a, b, sign * max_buffer_m / lp.cell)

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from urban_tpu import city_config
 from urban_tpu.jaxenv import geometry as jg
+from urban_tpu.jaxenv import slicer as jsl
 from urban_tpu.jaxenv.state import EnvSpec, PlanState
 
 EPS = 1e-4
@@ -196,164 +197,22 @@ def road_mask(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# slicing (reference khrylib/utils/shapely.py decision tree, dominant paths)
+# slicing (reference khrylib/utils/shapely.py decision tree — the
+# branch-complete jit mirror lives in urban_tpu/jaxenv/slicer.py)
 # ---------------------------------------------------------------------------
 
-def _slice_edge_end(spec: EnvSpec, state: PlanState, X, E, min_e_m, max_e_m,
-                    search_m):
-    """Prefix of edge X→E per slice_edge (reference shapely.py:180-200).
-    Returns (endpoint, whole)."""
-    cell = spec.cell_edge_length
-    L = jnp.linalg.norm(E - X)
-    whole = L * cell <= search_m
-    # candidate intersections on the edge
-    d_seg = jg.point_segment_distance(state.pt, X[None], E[None])
-    on_edge = state.pt_alive & (d_seg < EPS)
-    d_x = jnp.linalg.norm(state.pt - X, axis=-1)
-    feas = on_edge & (d_x * cell >= min_e_m) & (d_x * cell <= max_e_m)
-    any_feas = jnp.any(feas)
-    far = jnp.argmax(jnp.where(feas, d_x, -1.0))
-    P_cand = state.pt[far]
-    P_sub = X + (E - X) / jnp.maximum(L, 1e-9) * (max_e_m / cell)
-    P = jnp.where(whole, E, jnp.where(any_feas, P_cand, P_sub))
-    return P, whole
-
-
-def _axis_aligned(a, b):
-    d = jnp.abs(b - a)
-    return jnp.minimum(d[0], d[1]) < EPS
-
-
-def _envelope3(p0, p1, p2):
-    pts = jnp.stack([p0, p1, p2])
-    lo = pts.min(axis=0)
-    hi = pts.max(axis=0)
-    return jnp.stack([lo, jnp.stack([hi[0], lo[1]]), hi,
-                      jnp.stack([lo[0], hi[1]])])
-
-
-def _envelope4(p0, p1, p2, p3):
-    pts = jnp.stack([p0, p1, p2, p3])
-    lo = pts.min(axis=0)
-    hi = pts.max(axis=0)
-    return jnp.stack([lo, jnp.stack([hi[0], lo[1]]), hi,
-                      jnp.stack([lo[0], hi[1]])])
-
-
-def compute_cut_quad(spec: EnvSpec, state: PlanState, ring, nv, X,
-                     land_use_t):
-    """Construct the convex cut for a block and chosen intersection.
-
-    Dominant-path port of the slicing tree: corner/mid-edge classification
-    (plan_client.py:361-402), convex corner -> rect/envelope between the two
-    sliced corner edges (shapely.py:260-340), concave or mid-edge -> sweep a
-    rectangle from the sliced edge into the block (shapely.py:343-383)."""
-    c = _consts(spec)
-    cell = spec.cell_edge_length
-    min_e_m = c['min_edge'][land_use_t]
-    max_e_m = c['max_edge'][land_use_t]
-    search_m = max_e_m + spec.common_min_edge_length
-    max_area_m = c['max_area'][land_use_t]
-
-    kv = ring.shape[0]
-    m = jg.ring_mask(nv, kv)
-    vdist = jnp.where(m, jnp.linalg.norm(ring - X, axis=-1), jg.BIG)
-    vi = jnp.argmin(vdist)
-    is_corner = vdist[vi] <= EPS
-
-    nxt_idx = jg.ring_roll_indices(nv, kv)
-    prv_idx = jnp.where(jnp.arange(kv) == 0, jnp.maximum(nv - 1, 0),
-                        jnp.arange(kv) - 1)
-    # corner neighbors
-    A_c = ring[prv_idx[vi]]
-    B_c = ring[nxt_idx[vi]]
-    # mid-edge: nearest ring edge
-    segs, segmask = jg.ring_segments(ring, nv)
-    edist = jnp.where(segmask,
-                      jg.point_segment_distance(X, segs[:, 0], segs[:, 1]),
-                      jg.BIG)
-    ei = jnp.argmin(edist)
-    A_e = ring[ei]
-    B_e = ring[nxt_idx[ei]]
-    A = jnp.where(is_corner, A_c, A_e)
-    B = jnp.where(is_corner, B_c, B_e)
-
-    # interval angle: probe from X toward the chord midpoint
-    mid = 0.5 * (A + B)
-    dirv = mid - X
-    ndir = jnp.maximum(jnp.linalg.norm(dirv), 1e-9)
-    probe = X + dirv / ndir * jnp.minimum(EPS, ndir)
-    inside = jg.point_in_ring(probe, ring, nv)
-    va, vb = A - X, B - X
-    cosang = jnp.sum(va * vb) / jnp.maximum(
-        jnp.linalg.norm(va) * jnp.linalg.norm(vb), 1e-12)
-    angle = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
-    convex = inside & (angle <= 150.0) & is_corner
-
-    # convex-corner cut
-    P1, whole1 = _slice_edge_end(spec, state, X, A, min_e_m, max_e_m,
-                                 search_m)
-    P2, whole2 = _slice_edge_end(spec, state, X, B, min_e_m, max_e_m,
-                                 search_m)
-    hv = _axis_aligned(X, P1) | _axis_aligned(X, P2)
-    quad_rot = jnp.stack([X, P1, P1 + P2 - X, P2])
-    x, y = quad_rot[:, 0], quad_rot[:, 1]
-    signed = 0.5 * jnp.sum(x * jnp.roll(y, -1) - jnp.roll(x, -1) * y)
-    quad_rot = jnp.where(signed >= 0, quad_rot, quad_rot[::-1])
-    cut_convex = jnp.where(hv, _envelope3(X, P1, P2), quad_rot)
-
-    # L/U-shape extension (reference shapely.py:386-443, 553-630): when a
-    # whole corner edge is shorter than the search length the cut extends
-    # around that corner along the next ring edge, with lengths re-rectified
-    # against the whole edge
-    def _l_extension(corner_pt, far_pt, next_pt, other_P):
-        # angle at corner_pt between X and next_pt: convex -> extend
-        midc = 0.5 * (X + next_pt)
-        dirc = midc - corner_pt
-        ndc = jnp.maximum(jnp.linalg.norm(dirc), 1e-9)
-        probe_c = corner_pt + dirc / ndc * jnp.minimum(EPS, ndc)
-        inside_c = jg.point_in_ring(probe_c, ring, nv)
-        va_c, vb_c = X - corner_pt, next_pt - corner_pt
-        cosang_c = jnp.sum(va_c * vb_c) / jnp.maximum(
-            jnp.linalg.norm(va_c) * jnp.linalg.norm(vb_c), 1e-12)
-        ang_c = jnp.degrees(jnp.arccos(jnp.clip(cosang_c, -1.0, 1.0)))
-        convex_c = inside_c & (ang_c <= 150.0)
-        # rectify lengths against the whole corner edge
-        el_m = jnp.maximum(jnp.linalg.norm(far_pt - X), 1e-9) * cell
-        rmin = jnp.maximum(min_e_m, c['min_area'][land_use_t] / el_m)
-        rmax = jnp.maximum(rmin, jnp.minimum(max_e_m,
-                                             c['max_area'][land_use_t] / el_m))
-        rs = rmax + spec.common_min_edge_length
-        P3, _ = _slice_edge_end(spec, state, corner_pt, next_pt, rmin, rmax,
-                                rs)
-        ext = _envelope4(X, far_pt, other_P, P3)
-        base = _envelope3(X, far_pt, other_P)
-        return jnp.where(convex_c, ext, base)
-
-    A2 = ring[prv_idx[prv_idx[vi]]]
-    B2 = ring[nxt_idx[nxt_idx[vi]]]
-    cut_whole1 = _l_extension(A, A, A2, P2)
-    cut_whole2 = _l_extension(B, B, B2, P1)
-    cut_convex = jnp.where(whole1 & is_corner, cut_whole1,
-                           jnp.where(whole2 & is_corner, cut_whole2,
-                                     cut_convex))
-
-    # part-edge cut from the longer touching edge
-    lenA = jnp.linalg.norm(A - X)
-    lenB = jnp.linalg.norm(B - X)
-    E = jnp.where(lenA >= lenB, A, B)
-    PE, _ = _slice_edge_end(spec, state, X, E, min_e_m, max_e_m, search_m)
-    edge_len_m = jnp.maximum(jnp.linalg.norm(PE - X), 1e-9) * cell
-    depth_m = jnp.maximum(max_e_m, max_area_m / edge_len_m)
-    mid_e = 0.5 * (X + PE)
-    d = PE - X
-    nrm = jnp.stack([-d[1], d[0]])
-    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm), 1e-9)
-    left_inside = jg.point_in_ring(mid_e + nrm * 2 * EPS, ring, nv)
-    sign = jnp.where(left_inside, 1.0, -1.0)
-    cut_part = jg.oriented_rect(X, PE, sign * depth_m / cell)
-
-    return jnp.where(convex, cut_convex, cut_part)
+def _lu_params(spec: EnvSpec, c, land_use_t):
+    """Per-type scalar constraints for the jit slicer, mirroring the host
+    PlanClient._slice_polygon parameter pack (plan_client.py:384-397)."""
+    return jsl.LuParams(
+        cell=jnp.asarray(spec.cell_edge_length),
+        min_edge=c['min_edge'][land_use_t],
+        max_edge=c['max_edge'][land_use_t],
+        search_max_length=c['max_edge'][land_use_t]
+        + spec.common_min_edge_length,
+        search_max_area=c['max_area'][land_use_t],
+        search_min_area=c['min_area'][land_use_t],
+        common_min_edge=jnp.asarray(spec.common_min_edge_length))
 
 
 # ---------------------------------------------------------------------------
@@ -372,8 +231,9 @@ def ring_shape_metrics(ring, nv):
     nd = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
     u = d / nd                                  # (KV,2) candidate directions
     v = jnp.stack([-u[:, 1], u[:, 0]], axis=-1)
-    pu = ring @ u.T                             # (KV pts, KV dirs)
-    pv = ring @ v.T
+    hp = jax.lax.Precision.HIGHEST              # exact f32 coordinate dots
+    pu = jnp.einsum('nd,md->nm', ring, u, precision=hp)  # (KV pts, KV dirs)
+    pv = jnp.einsum('nd,md->nm', ring, v, precision=hp)
     big_m = jnp.where(m[:, None], 0.0, jg.BIG)
     w = (pu + (-big_m)).max(0) - (pu + big_m).min(0)
     h = (pv + (-big_m)).max(0) - (pv + big_m).min(0)
@@ -425,6 +285,118 @@ def snap_ring_to_points(ring, nv, pts, pt_alive, tol):
     return jnp.where(move[:, None], snapped, ring)
 
 
+def distance_simplify_ring(ring, nv, tol):
+    """Drop vertices closer than tol to their predecessor, mirroring the
+    host ops.simplify_ring_by_distance (reference shapely.py:76-95); rings
+    that would fall below 3 vertices pass through unchanged."""
+    kv = ring.shape[0]
+    m = jg.ring_mask(nv, kv)
+    prev = jg.ring_prev(ring, nv)
+    keep = m & (jnp.linalg.norm(ring - prev, axis=-1) >= tol)
+    nk = jnp.sum(keep)
+    ok = nk >= 3
+    counts = keep.astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts
+    out = jnp.zeros_like(ring)
+    idx = jnp.where(keep, offsets, kv - 1)
+    out = out.at[idx].set(jnp.where(keep[:, None], ring, 0.0), mode='drop')
+    return jnp.where(ok, out, ring), jnp.where(ok, nk, nv)
+
+
+def simplify_snap_poly(ring, nv, pts, pt_alive, snap_tol):
+    """Jit mirror of the host PlanClient._simplify_snap_polygon
+    (plan_client.py:399-418; reference plan_client.py:473-512): DP simplify
+    at the snap tolerance, distance-simplify at EPSILON, snap vertices onto
+    existing intersections, insert on-edge intersections, dedupe.
+
+    Returns (ring, nvert, fail) where fail mirrors the host SliceError
+    'not a polygon after simplify and snap'."""
+    r, n = jg.dp_simplify_ring(ring, nv, snap_tol)
+    r, n = distance_simplify_ring(r, n, EPS)
+    r = snap_ring_to_points(r, n, pts, pt_alive, snap_tol)
+    r, n, ovf = jg.insert_points_on_ring(r, n, pts, pt_alive, snap_tol)
+    r, n = jg.dedupe_ring(r, n)
+    fail = ovf | (n < 3) | (jg.ring_area(r, n) <= 0)
+    return r, n, fail
+
+
+MAX_COV = 16          # collinear covering segments considered per parcel edge
+GAPS_PER_EDGE = 3     # uncovered sub-segments emitted per parcel edge
+
+
+def collinear_boundary_gaps(parcel_r, parcel_n, seg, seg_alive):
+    """Uncovered sub-segments of each parcel edge, mirroring the host
+    _subtract_collinear sweep (plan_client.py:884-916; reference
+    plan_client.py:560-588): segments collinear with the edge cover
+    intervals; the leftovers become new BOUNDARY lines.
+
+    Returns (gap_a, gap_b, gap_ok, overflow): (KV, G, 2) endpoints per edge,
+    validity mask, and an overflow flag when an edge has more than MAX_COV
+    covering segments or more than G gaps."""
+    kv = parcel_r.shape[0]
+    m = jg.ring_mask(parcel_n, kv)
+    a = parcel_r
+    b = jg.ring_next(parcel_r, parcel_n)
+    ab = b - a
+    L = jnp.linalg.norm(ab, axis=-1)
+    valid_e = m & (L > EPS)
+    u = ab / jnp.maximum(L, 1e-9)[:, None]
+    # per (edge, segment): collinear + overlapping parameter interval
+    rel_p = seg[None, :, 0, :] - a[:, None, :]            # (KV, NS, 2)
+    rel_q = seg[None, :, 1, :] - a[:, None, :]
+    dp = jnp.abs(u[:, None, 0] * rel_p[..., 1] - u[:, None, 1] * rel_p[..., 0])
+    dq = jnp.abs(u[:, None, 0] * rel_q[..., 1] - u[:, None, 1] * rel_q[..., 0])
+    hp = jax.lax.Precision.HIGHEST
+    tp = jnp.einsum('knd,kd->kn', rel_p, u, precision=hp)
+    tq = jnp.einsum('knd,kd->kn', rel_q, u, precision=hp)
+    lo = jnp.clip(jnp.minimum(tp, tq), 0.0, L[:, None])
+    hi = jnp.clip(jnp.maximum(tp, tq), 0.0, L[:, None])
+    cov = (seg_alive[None, :] & valid_e[:, None] & (dp <= EPS) & (dq <= EPS)
+           & (hi - lo > EPS))
+    ncov = jnp.sum(cov, axis=1)                           # (KV,)
+    overflow = jnp.any(valid_e & (ncov > MAX_COV))
+
+    # compact covering intervals per edge
+    lohi = jax.vmap(lambda f, v: rank_compact(f, v, MAX_COV))(
+        cov, jnp.stack([lo, hi], axis=-1))                # (KV, C, 2)
+    cval = jnp.arange(MAX_COV)[None, :] < ncov[:, None]
+    LO = jnp.where(cval, lohi[..., 0], jg.BIG)
+    HI = jnp.where(cval, lohi[..., 1], -jg.BIG)
+
+    # candidate gap starts: 0 and every interval end (host cursor values)
+    starts = jnp.concatenate([jnp.zeros((kv, 1)), HI], axis=1)  # (KV, C+1)
+    sval = jnp.concatenate([valid_e[:, None], cval], axis=1)
+    # a start is live when no interval covers the point just right of it
+    covered = jnp.any(cval[:, None, :]
+                      & (LO[:, None, :] <= starts[:, :, None] + EPS)
+                      & (HI[:, None, :] >= starts[:, :, None] + EPS), axis=2)
+    # dedupe near-equal starts (keep the first)
+    ncand = starts.shape[1]
+    dup = jnp.any(sval[:, None, :]
+                  & (jnp.abs(starts[:, None, :] - starts[:, :, None]) <= EPS)
+                  & (jnp.arange(ncand)[None, None, :]
+                     < jnp.arange(ncand)[None, :, None]), axis=2)
+    # gap end: nearest interval start beyond the gap start, else edge end
+    nxt_lo = jnp.min(jnp.where(cval[:, None, :]
+                               & (LO[:, None, :] > starts[:, :, None] + EPS),
+                               LO[:, None, :], jg.BIG), axis=2)
+    ends = jnp.minimum(nxt_lo, L[:, None])
+    gap_ok = (sval & ~covered & ~dup & (starts <= L[:, None] - EPS)
+              & (ends - starts > EPS))
+    overflow = overflow | jnp.any(
+        jnp.sum(gap_ok, axis=1) > GAPS_PER_EDGE)
+    # compact to G gaps per edge ordered along the edge (candidate order is
+    # not monotone, but the host only requires the piece set, not its order)
+    vals = jnp.concatenate([starts[..., None], ends[..., None]], axis=-1)
+    g = jax.vmap(lambda f, v: rank_compact(f, v, GAPS_PER_EDGE))(
+        gap_ok, vals)                                     # (KV, G, 2)
+    gn = jnp.sum(gap_ok, axis=1)
+    gvalid = jnp.arange(GAPS_PER_EDGE)[None, :] < gn[:, None]
+    gap_a = a[:, None, :] + u[:, None, :] * g[..., 0:1]
+    gap_b = a[:, None, :] + u[:, None, :] * g[..., 1:2]
+    return gap_a, gap_b, gvalid, overflow
+
+
 # ---------------------------------------------------------------------------
 # land-use placement (reference plan_client.py:681-733)
 # ---------------------------------------------------------------------------
@@ -434,7 +406,12 @@ N_NEW_POLY = 5  # 1 parcel + up to 4 remaining wedges
 
 
 def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
-    """Returns (next_state, failure)."""
+    """Place the pending land use at contiguity edge `a`: slice the block,
+    register the parcel's intersections/boundaries, re-add the remaining
+    feasible pieces (host oracle: PlanClient._place_land_use,
+    plan_client.py:523-564; reference plan_client.py:681-733).
+
+    Returns (next_state, failure)."""
     c = _consts(spec)
     cell = spec.cell_edge_length
     cell_area = cell * cell
@@ -449,66 +426,80 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     ring = state.poly_ring[p]
     nv = state.poly_nvert[p]
     X = state.pt[q]
+    kvp = ring.shape[0]
 
-    block_area_m = state.poly_feat[0, p] * cell_area
-    cut = compute_cut_quad(spec, state, ring, nv, X, t)
-    parcel_r0, parcel_n0, ovf1 = jg.clip_poly_by_convex_quad(ring, nv, cut)
-    parcel_area_m0 = jg.ring_area(parcel_r0, parcel_n0) * cell_area
+    block_area = state.poly_feat[0, p]
+    block_area_m = block_area * cell_area
+    whole_first = block_area_m <= c['max_area'][t]
 
-    degenerate = parcel_area_m0 < EPS
+    # ---- slice: branch-complete cutter + largest connected piece ---------
+    lp = _lu_params(spec, c, t)
+    S, snv, cut, slice_fail = jsl.compute_cutter(ring, nv, X, state.pt,
+                                                 state.pt_alive, lp)
+    cut4, nh4 = jg.convex_hull_masked(cut, jnp.ones(4, bool))
+    in_r, in_n, ovf_in = jg.arc_pieces(S, snv, cut4, nh4, keep_inside=True)
+    in_area = jax.vmap(jg.ring_area)(in_r, in_n)
+    imax = jnp.argmax(in_area)
+    parcel0 = in_r[imax]
+    parcel_n0 = in_n[imax]
+    parcel_area0 = in_area[imax]
+    # host SliceErrors: 'not a polygon' / 'area near 0'
+    slice_fail = slice_fail | ovf_in | (parcel_area0 < EPS)
+    parcel_area_m0 = parcel_area0 * cell_area
+
     sliver = (block_area_m - parcel_area_m0) <= spec.common_min_area
-    use_whole = (block_area_m <= c['max_area'][t]) | sliver
-    fail = (~use_whole) & (degenerate | ovf1)
-
-    parcel_r = jnp.where(use_whole, ring, parcel_r0)
-    parcel_n = jnp.where(use_whole, nv, parcel_n0)
-    parcel_area_m = jnp.where(use_whole, block_area_m, parcel_area_m0)
-    actual_t = jnp.where((~use_whole) & (parcel_area_m < c['min_area'][t]),
+    use_whole = whole_first | ((~slice_fail) & sliver)
+    fail = (~whole_first) & slice_fail
+    # GREEN_S downgrade uses the pre-snap parcel area (plan_client.py:544)
+    actual_t = jnp.where((~use_whole) & (parcel_area_m0 < c['min_area'][t]),
                          city_config.GREEN_S, t).astype(jnp.int32)
 
-    # snap parcel to existing intersections, dedupe
-    parcel_r = snap_ring_to_points(parcel_r, parcel_n, state.pt,
-                                   state.pt_alive, snap_tol)
-    parcel_r, parcel_n = jg.dedupe_ring(parcel_r, parcel_n)
-    fail = fail | (parcel_n < 3)
+    # ---- simplify + snap the stored parcel (host _update_gdf) ------------
+    par_in = jnp.where(use_whole, ring, parcel0)
+    par_nin = jnp.where(use_whole, nv, parcel_n0)
+    parcel_r, parcel_n, pfail = simplify_snap_poly(
+        par_in, par_nin, state.pt, state.pt_alive, snap_tol)
+    fail = fail | pfail
+    parcel_area_m = jg.ring_area(parcel_r, parcel_n) * cell_area
 
-    # remaining wedges
-    pieces_r, pieces_n, ovf2 = jg.difference_pieces_by_quad(ring, nv, cut)
-    piece_area = jax.vmap(jg.ring_area)(pieces_r, pieces_n) * cell_area
-    piece_valid = (piece_area > EPS) & (~use_whole) & (pieces_n >= 3)
-    fail = fail | ((~use_whole) & ovf2)
-    snap_tol_ = snap_tol
-    pieces_r = jax.vmap(lambda r, n: snap_ring_to_points(
-        r, n, state.pt, state.pt_alive, snap_tol_))(pieces_r, pieces_n)
-    pieces_r, pieces_n = jax.vmap(jg.dedupe_ring)(pieces_r, pieces_n)
-    piece_valid = piece_valid & (pieces_n >= 3)
+    # ---- remaining pieces: ring \ convex_hull(parcel) --------------------
+    # (host _difference_pieces, plan_client.py:918-933: the parcel's convex
+    # hull is the difference cutter; pieces are its connected components).
+    # The host differences against the SIMPLIFIED+SNAPPED parcel — cutting
+    # with the raw arc_pieces parcel would leave f32 crossing noise (~2e-3)
+    # that pushes coincident ring vertices just outside the hull.
+    hull_p, nh_p = jg.convex_hull_masked(parcel_r,
+                                         jg.ring_mask(parcel_n, kvp))
+    out_r, out_n, ovf_out = jg.arc_pieces(ring, nv, hull_p, nh_p,
+                                          keep_inside=False)
+    out_area = jax.vmap(jg.ring_area)(out_r, out_n)
+    piece_valid = (out_area > 1e-9) & (out_n >= 3) & ~use_whole
+    rem_area = jnp.sum(jnp.where(piece_valid, out_area, 0.0))
+    fail = fail | ((~use_whole) & ~slice_fail
+                   & (ovf_out
+                      | ((rem_area <= 0)
+                         & (jnp.abs(block_area - parcel_area0) > 1e-6))))
 
-    # ---- new intersections -----------------------------------------------
-    # candidates: parcel vertices plus remaining-piece vertices. The
-    # reference only registers parcel vertices (its GEOS difference never
-    # introduces extra ones, plan_client.py:514-558); our wedge
-    # decomposition creates seam vertices on the block boundary, which must
-    # become intersections too so later whole-block placements stay legal.
-    kvp = parcel_r.shape[0]
+    # ---- new intersections: parcel vertices only (plan_client.py:514-558)
     vmask_parcel = jg.ring_mask(parcel_n, kvp)
-    piece_vmask = jax.vmap(jg.ring_mask, in_axes=(0, None))(
-        pieces_n, kvp) & piece_valid[:, None]
-    cand = jnp.concatenate([parcel_r, pieces_r.reshape(-1, 2)], axis=0)
-    cand_mask = jnp.concatenate([vmask_parcel, piece_vmask.reshape(-1)])
-    # drop candidates matching existing intersections
-    d_pts = jnp.linalg.norm(cand[:, None, :] - state.pt[None, :, :], axis=-1)
+    d_pts = jnp.linalg.norm(parcel_r[:, None, :] - state.pt[None, :, :],
+                            axis=-1)
     d_pts = jnp.where(state.pt_alive[None, :], d_pts, jg.BIG)
-    cand_mask = cand_mask & (d_pts.min(axis=1) > MERGE_TOL)
+    cand_new = vmask_parcel & (d_pts.min(axis=1) > MERGE_TOL)
     # self-dedupe: keep first occurrence
-    dcc = jnp.linalg.norm(cand[:, None, :] - cand[None, :, :], axis=-1)
-    earlier = (jnp.arange(cand.shape[0])[None, :]
-               < jnp.arange(cand.shape[0])[:, None])
-    dup = jnp.any((dcc <= MERGE_TOL) & earlier & cand_mask[None, :], axis=1)
-    is_new = cand_mask & ~dup
-    # reference: whole-feasible placements must not create points
-    # (plan_client.py:605-621)
-    fail = fail | (use_whole & jnp.any(is_new[:kvp]))
+    dcc = jnp.linalg.norm(parcel_r[:, None, :] - parcel_r[None, :, :],
+                          axis=-1)
+    earlier = (jnp.arange(kvp)[None, :] < jnp.arange(kvp)[:, None])
+    dup = jnp.any((dcc <= MERGE_TOL) & earlier & cand_new[None, :], axis=1)
+    is_new = cand_new & ~dup
+    # whole-feasible placements must not create points (host
+    # 'Update polygon without building boundaries creates new points')
+    fail = fail | (use_whole & jnp.any(is_new))
+    # host 'All new intersections without any old intersections!'
+    fail = fail | ((~use_whole) & (parcel_n > 0)
+                   & (jnp.sum(is_new) >= parcel_n))
     is_new = is_new & ~use_whole
+    cand = parcel_r
     n_new = jnp.sum(is_new)
     fail = fail | (n_new > MAX_NEW_PTS)
 
@@ -526,6 +517,20 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     new_pts = jnp.zeros((MAX_NEW_PTS, 2))
     new_pts = new_pts.at[jnp.where(is_new, new_rank, MAX_NEW_PTS)].set(
         cand, mode='drop')
+    pt_valid = jnp.arange(MAX_NEW_PTS) < n_new
+
+    # ---- snap neighbor polygons onto the new intersections ---------------
+    # Host _add_new_intersections snaps EVERY alive geometry onto each new
+    # point (plan_client.py:455-461): a parcel corner landing on a
+    # neighbor's edge becomes a vertex of that neighbor's ring.
+    nb_ring, nb_nv, nb_ovf = jax.vmap(
+        lambda r, n: jg.insert_points_on_ring(r, n, new_pts, pt_valid, EPS,
+                                              max_insert=MAX_NEW_PTS))(
+            state.poly_ring, state.poly_nvert)
+    nb_alive = state.poly_alive & (jnp.arange(spec.NP) != p)
+    base_ring = jnp.where(nb_alive[:, None, None], nb_ring, state.poly_ring)
+    base_nvert = jnp.where(nb_alive, nb_nv, state.poly_nvert)
+    fail = fail | jnp.any(nb_alive & nb_ovf)
 
     # ---- split segments at new intersections ---------------------------
     # Vectorized multi-split (replaces a MAX_NEW_PTS-long sequential loop):
@@ -539,7 +544,6 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     seg_type = state.seg_type
     seg_alive = state.seg_alive
 
-    pt_valid = jnp.arange(MAX_NEW_PTS) < n_new
     d_hit = jg.point_segment_distance(new_pts[:, None, :], seg[None, :, 0],
                                       seg[None, :, 1])       # (P, NS)
     interior = (jnp.linalg.norm(seg[None, :, 0] - new_pts[:, None], axis=-1)
@@ -547,6 +551,10 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
                (jnp.linalg.norm(seg[None, :, 1] - new_pts[:, None], axis=-1)
                 > EPS)
     hits = seg_alive[None, :] & (d_hit < EPS) & interior & pt_valid[:, None]
+    # host: one new point on more than one existing line is a SliceError
+    # ('New intersection is located at more than 1 existing roads or
+    # boundaries', plan_client.py:443-445)
+    fail = fail | jnp.any(jnp.sum(hits, axis=1) > 1)
     seg_has = jnp.any(hits, axis=0)                           # (NS,)
     n_hit_segs = jnp.sum(seg_has)
     fail = fail | (n_hit_segs > MAX_HIT_SEGS)
@@ -559,8 +567,11 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     ab = hit_b - hit_a
     denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-12)
     # per hit seg: t of each new pt along it (BIG when not on this seg)
-    t = jnp.einsum('pd,hd->hp', new_pts, ab) / denom[:, None] \
-        - jnp.einsum('hd,hd->h', hit_a, ab)[:, None] / denom[:, None]
+    t = jnp.einsum('pd,hd->hp', new_pts, ab,
+                   precision=jax.lax.Precision.HIGHEST) / denom[:, None] \
+        - jnp.einsum('hd,hd->h', hit_a, ab,
+                     precision=jax.lax.Precision.HIGHEST)[:, None] \
+        / denom[:, None]
     on_this = hits[:, jnp.clip(hit_idx, 0, spec.NS - 1)].T    # (H, P)
     t = jnp.where(on_this, t, jg.BIG)
     cnt = jnp.sum(on_this, axis=1)                            # pts per seg
@@ -608,30 +619,38 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     killed_slots = jnp.where(hit_valid, hit_idx, spec.NS).astype(jnp.int32)
     killed_seg = kill_mask
 
-    # ---- new boundaries for uncovered parcel edges ----------------------
-    kvp = parcel_r.shape[0]
-    pa = parcel_r
-    pb = jg.ring_next(parcel_r, parcel_n)
-    pmid = 0.5 * (pa + pb)
-    def _near_seg(pts_):
-        d = jg.point_segment_distance(pts_[:, None, :], seg[None, :, 0],
-                                      seg[None, :, 1])
-        return jnp.any(seg_alive[None, :] & (d < EPS), axis=1)
-    covered = _near_seg(pa) & _near_seg(pb) & _near_seg(pmid)
-    emask = jg.ring_mask(parcel_n, kvp)
-    need = emask & ~covered & ~use_whole & \
-        (jnp.linalg.norm(pb - pa, axis=-1) > EPS)
-    n_need = jnp.sum(need)
-    fail = fail | (n_need > MAX_NEW_SEGS)
+    # ---- new boundaries: uncovered collinear leftovers per parcel edge --
+    # (host _add_new_boundaries + _subtract_collinear, against the segment
+    # table as it stands AFTER the splits above)
+    gap_a, gap_b, gvalid, gap_ovf = collinear_boundary_gaps(
+        parcel_r, parcel_n, seg, seg_alive)
+    gflat = (gvalid & ~use_whole).reshape(-1)
+    n_need = jnp.sum(gflat)
+    fail = fail | (gap_ovf & ~use_whole) | (n_need > MAX_NEW_SEGS)
     b_slots, b_ovf = free_slots(seg_alive, MAX_NEW_SEGS)
     fail = fail | (b_ovf & (n_need > 0))
-    need_rank = jnp.cumsum(need) - 1
-    bidx = jnp.where(need, b_slots[jnp.clip(need_rank, 0, MAX_NEW_SEGS - 1)],
+    need_rank = jnp.cumsum(gflat) - 1
+    bidx = jnp.where(gflat,
+                     b_slots[jnp.clip(need_rank, 0, MAX_NEW_SEGS - 1)],
                      spec.NS)
-    new_b = jnp.stack([pa, pb], axis=1)
+    new_b = jnp.stack([gap_a.reshape(-1, 2), gap_b.reshape(-1, 2)], axis=1)
     seg = seg.at[bidx].set(new_b, mode='drop')
     seg_type = seg_type.at[bidx].set(city_config.BOUNDARY, mode='drop')
     seg_alive = seg_alive.at[bidx].set(True, mode='drop')
+
+    # ---- simplify + snap the remaining pieces (host re-adds them through
+    # _update_gdf with build_boundary=False: no new points allowed) --------
+    pieces_r, pieces_n, piece_pfail = jax.vmap(
+        lambda r, n: simplify_snap_poly(r, n, pt, pt_alive, snap_tol))(
+            out_r, out_n)
+    fail = fail | jnp.any(piece_valid & piece_pfail)
+    d_piece = jnp.linalg.norm(
+        pieces_r[:, :, None, :] - pt[None, None, :, :], axis=-1)
+    d_piece = jnp.where(pt_alive[None, None, :], d_piece, jg.BIG)
+    piece_vm = jax.vmap(jg.ring_mask, in_axes=(0, None))(pieces_n, kvp)
+    piece_has_new = jnp.any(piece_vm & (d_piece.min(axis=2) > MERGE_TOL),
+                            axis=1)
+    fail = fail | jnp.any(piece_valid & piece_has_new)
 
     # ---- write polygons -------------------------------------------------
     poly_alive = state.poly_alive.at[p].set(False)
@@ -640,8 +659,8 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     parcel_slot = poly_slots[0]
     piece_slots = poly_slots[1:]
 
-    poly_ring = state.poly_ring.at[parcel_slot].set(parcel_r)
-    poly_nvert = state.poly_nvert.at[parcel_slot].set(parcel_n)
+    poly_ring = base_ring.at[parcel_slot].set(parcel_r)
+    poly_nvert = base_nvert.at[parcel_slot].set(parcel_n)
     poly_type = state.poly_type.at[parcel_slot].set(actual_t)
     poly_alive = poly_alive.at[parcel_slot].set(True)
     rect, eqi, sc = ring_shape_metrics(parcel_r, parcel_n)
@@ -1274,7 +1293,8 @@ def road_network_reward(spec: EnvSpec, state: PlanState) -> jnp.ndarray:
         & is_road[:, None]
     merged_len = jnp.einsum('il,i->l', onehot.astype(jnp.float32),
                             jnp.where(is_road, lengths, 0.0),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
     is_repr = is_road & (chain_labels == jnp.arange(spec.NS))
     merged_m = merged_len * cell
     num_short = jnp.sum(is_repr & (merged_m < 100.0))
