@@ -77,8 +77,21 @@ def replay_episode(cfg, seed: int, max_steps: int = 60):
             np.array([action, 0], dtype=float), logger)
         state, r_jax, done_jax, info_jax = step_fn(
             state, jnp.asarray([jax_action, 0], dtype=jnp.int32))
-        if bool(info_jax['failure']):
+        # the host env reports geometry failures only through the terminal
+        # FAILURE_REWARD (city.py failure_step); both engines failing on
+        # the same action is lockstep parity, not divergence
+        fail_host = bool(done_host) and \
+            float(r_host) == float(env.FAILURE_REWARD)
+        if bool(info_jax['failure']) != fail_host:
             m['diverged_at'] = step
+            break
+        if fail_host:
+            m['matched_steps'] += 1
+            m['completed_host'] = True
+            m['completed_both'] = True
+            m['reward_host'] = float(r_host)
+            m['reward_jax'] = float(r_jax)
+            m['reward_delta'] = abs(float(r_host) - float(r_jax))
             break
         counts_h = plc.get_plan_ratio_and_count()[1]
         if not np.array_equal(counts_h, np.asarray(state.plan_count)):

@@ -33,6 +33,10 @@ SCENARIOS = {
             f'{REF}/real/dhm/objectives_dhm.yaml', 'dhm'),
     'dhm_concept': (f'{REF}/real/dhm/init_plan_dhm_concept.pickle',
                     f'{REF}/real/dhm/objectives_dhm.yaml', 'dhm'),
+    # the reference's third-city onboarding walkthrough artifact
+    # (reference: extra/README.md, extra/init_plan_huizhou.pickle)
+    'huizhou': ('/root/reference/extra/init_plan_huizhou.pickle',
+                '/root/reference/extra/objectives_huizhou.yaml', 'huizhou'),
 }
 
 

@@ -349,6 +349,39 @@ def convex_hull_masked(pts: jnp.ndarray, mask: jnp.ndarray,
     return out, nh
 
 
+def canonicalize_ring(ring: jnp.ndarray, nvert: jnp.ndarray):
+    """CCW orientation + rotation to the lexicographically smallest vertex
+    (host Geometry.canonicalize, geometry/base.py:129-138).
+
+    Douglas-Peucker anchors at ring position 0, so borderline vertices
+    (within ~tol of a chord) survive or die depending on the start vertex —
+    the jit tier must enter DP in the host's canonical frame or the two
+    tiers simplify the same parcel differently. Returns (ring, nvert)."""
+    kv = ring.shape[0]
+    m = ring_mask(nvert, kv)
+    pos = jnp.arange(kv)
+    n = jnp.maximum(nvert, 1)
+    # orientation: reverse the valid prefix when CW
+    ccw = ring_signed_area(ring, nvert) >= 0
+    rev_src = jnp.mod(n - 1 - pos, n)
+    fwd_src = pos
+    src0 = jnp.where(ccw, fwd_src, rev_src)
+    onehot0 = (src0[:, None] == pos[None, :]) & m[None, :] & m[:, None]
+    r1 = jnp.einsum('ij,jd->id', onehot0.astype(ring.dtype), ring,
+                    precision=jax.lax.Precision.HIGHEST)
+    # lexicographic start: min x, then min y (exact f32 comparisons)
+    xkey = jnp.where(m, r1[:, 0], BIG)
+    minx = jnp.min(xkey)
+    cand = m & (xkey == minx)
+    ykey = jnp.where(cand, r1[:, 1], BIG)
+    start = jnp.argmin(ykey)
+    src1 = jnp.mod(start + pos, n)
+    onehot1 = (src1[:, None] == pos[None, :]) & m[None, :] & m[:, None]
+    r2 = jnp.einsum('ij,jd->id', onehot1.astype(ring.dtype), r1,
+                    precision=jax.lax.Precision.HIGHEST)
+    return r2, nvert
+
+
 def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
                nh: jnp.ndarray, keep_inside: bool, n_pieces: int = 4,
                eps: float = 0.05, t_eps: float = 1e-3):

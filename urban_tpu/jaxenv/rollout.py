@@ -61,20 +61,19 @@ def make_batch_fns(spec: EnvSpec, defer_rewards: bool = True):
     return batch_obs, batch_step
 
 
-def batched_road_network_reward(spec: EnvSpec, states: PlanState,
-                                batch_size: int = 1) -> jnp.ndarray:
-    """Road reward over a batch of envs via chunked lax.map, NOT vmap.
+def batched_road_network_reward(spec: EnvSpec, states: PlanState
+                                ) -> jnp.ndarray:
+    """Road reward over a batch of envs, plain vmap.
 
-    road_network_reward's raster face decomposition materializes a
-    (grid_walks x segments) crossing tensor — ~350 MB on the 240x240
-    synthetic grid. Fine per env; under vmap(256) it becomes a 90 GB
-    allocation that can never fit HBM. lax.map serializes chunks of
-    batch_size envs, bounding peak memory at batch_size/B of the vmap
-    cost; the op runs only at stage boundaries, so the serialization is
-    off the hot path."""
+    Round 2 serialized this through chunked lax.map because the general
+    (grid_walks x segments) proper-crossing tensor cost ~350 MB per env
+    (90 GB under vmap(256)). The face decomposition's crossing test is now
+    a row-mask x col-mask matmul over axis-aligned roads
+    (step.py:_large_block_count), whose per-env footprint is two
+    (RC, NS)-scale boolean masks — vmap(256) costs ~100 MB and rides the
+    MXU, so the road phase samples at full batch speed."""
     from urban_tpu.jaxenv.step import road_network_reward
-    return jax.lax.map(lambda s: road_network_reward(spec, s), states,
-                       batch_size=batch_size)
+    return jax.vmap(lambda s: road_network_reward(spec, s))(states)
 
 
 def apply_stage_rewards(spec: EnvSpec, states: PlanState, reward, info):

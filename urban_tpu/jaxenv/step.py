@@ -311,7 +311,10 @@ def simplify_snap_poly(ring, nv, pts, pt_alive, snap_tol):
 
     Returns (ring, nvert, fail) where fail mirrors the host SliceError
     'not a polygon after simplify and snap'."""
-    r, n = jg.dp_simplify_ring(ring, nv, snap_tol)
+    # host canonicalizes before DP (plan_client.py:403) — DP anchors at
+    # vertex 0, so the start vertex decides borderline keeps
+    r, n = jg.canonicalize_ring(ring, nv)
+    r, n = jg.dp_simplify_ring(r, n, snap_tol)
     r, n = distance_simplify_ring(r, n, EPS)
     r = snap_ring_to_points(r, n, pts, pt_alive, snap_tol)
     r, n, ovf = jg.insert_points_on_ring(r, n, pts, pt_alive, snap_tol)
@@ -465,11 +468,13 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     # ---- remaining pieces: ring \ convex_hull(parcel) --------------------
     # (host _difference_pieces, plan_client.py:918-933: the parcel's convex
     # hull is the difference cutter; pieces are its connected components).
-    # The host differences against the SIMPLIFIED+SNAPPED parcel — cutting
-    # with the raw arc_pieces parcel would leave f32 crossing noise (~2e-3)
-    # that pushes coincident ring vertices just outside the hull.
-    hull_p, nh_p = jg.convex_hull_masked(parcel_r,
-                                         jg.ring_mask(parcel_n, kvp))
+    # The host differences against the RAW sliced parcel, BEFORE
+    # simplify+snap (plan_client.py:543 runs before _update_gdf) — a
+    # borderline DP drop on the parcel must not move the piece boundary.
+    # The ~2e-3 f32 crossing noise in the raw parcel is absorbed by the
+    # hull's scaled tolerance and arc_pieces' 0.05 plane slack.
+    hull_p, nh_p = jg.convex_hull_masked(parcel0,
+                                         jg.ring_mask(parcel_n0, kvp))
     out_r, out_n, ovf_out = jg.arc_pieces(ring, nv, hull_p, nh_p,
                                           keep_inside=False)
     out_area = jax.vmap(jg.ring_area)(out_r, out_n)
@@ -1134,27 +1139,75 @@ def _large_block_count(spec: EnvSpec, state: PlanState,
     RC = int(spec.grid_rows)
     cell = spec.cell_edge_length
     seg = state.seg
-    a = seg[:, 0][None, :, :]
-    b = seg[:, 1][None, :, :]
+    ax, ay = seg[:, 0, 0], seg[:, 0, 1]
+    bx, by = seg[:, 1, 0], seg[:, 1, 1]
 
     _WALK_EPS = 4.8828125e-4        # 2**-11: clear of slice-point rationals
-    xs = jnp.arange(CC) + 0.5 + _WALK_EPS
-    ys = jnp.arange(RC) + 0.5 + _WALK_EPS
-    cx, cy = jnp.meshgrid(xs, ys, indexing='xy')        # (RC, CC)
-    centers = jnp.stack([cx, cy], axis=-1)              # (RC, CC, 2)
 
-    def blocked(p1, p2):
-        # p1, p2: (K, 2) walk endpoints -> (K,) crossing any road
-        hit = jg.segments_cross(p1[:, None, :], p2[:, None, :], a, b)
-        return jnp.any(hit & is_road[None, :], axis=1)
+    # Axis-aligned road segments (all of them, in the grid-aligned networks
+    # these scenarios build) block walks along a full row/column interval
+    # at a single perpendicular coordinate, so the (walks x segments)
+    # proper-crossing tensor factorizes into a row-mask x col-mask MATMUL:
+    # blocked_r[y, c] = any_s rowmask[y, s] & colmask[s, c]. That turns the
+    # ~350 MB crossing tensor of the general test into two (RC, NS)-scale
+    # masks + one MXU matmul, which vmaps over hundreds of envs.
+    vert = (jnp.abs(bx - ax) <= 1e-6) & (jnp.abs(by - ay) > 1e-6)
+    horiz = (jnp.abs(by - ay) <= 1e-6) & (jnp.abs(bx - ax) > 1e-6)
+    diag = is_road & ~vert & ~horiz & (jnp.abs(by - ay) + jnp.abs(bx - ax)
+                                       > 1e-6)
 
-    # rightward and downward walk blockings
-    pr1 = centers[:, :-1].reshape(-1, 2)
-    pr2 = centers[:, 1:].reshape(-1, 2)
-    block_r = blocked(pr1, pr2).reshape(RC, CC - 1)
-    pd1 = centers[:-1].reshape(-1, 2)
-    pd2 = centers[1:].reshape(-1, 2)
-    block_d = blocked(pd1, pd2).reshape(RC - 1, CC)
+    ywalk = jnp.arange(RC) + 0.5 + _WALK_EPS            # horizontal lines
+    xwalk = jnp.arange(CC) + 0.5 + _WALK_EPS            # vertical lines
+
+    # vertical segs x horizontal (rightward) walks
+    ylo = jnp.minimum(ay, by)
+    yhi = jnp.maximum(ay, by)
+    row_v = (ylo[None, :] < ywalk[:, None]) & (ywalk[:, None] < yhi[None, :]) \
+        & (vert & is_road)[None, :]                     # (RC, NS)
+    col_v = (ax[:, None] > xwalk[None, :-1]) & \
+        (ax[:, None] < xwalk[None, :-1] + 1.0)          # (NS, CC-1)
+    block_r = jnp.einsum('ys,sc->yc', row_v.astype(jnp.float32),
+                         col_v.astype(jnp.float32)) > 0.5
+
+    # horizontal segs x vertical (downward) walks
+    xlo = jnp.minimum(ax, bx)
+    xhi = jnp.maximum(ax, bx)
+    col_h = (xlo[None, :] < xwalk[:, None]) & (xwalk[:, None] < xhi[None, :]) \
+        & (horiz & is_road)[None, :]                    # (CC, NS)
+    row_h = (ay[:, None] > ywalk[None, :-1]) & \
+        (ay[:, None] < ywalk[None, :-1] + 1.0)          # (NS, RC-1)
+    block_d = jnp.einsum('cs,sy->yc', col_h.astype(jnp.float32),
+                         row_h.astype(jnp.float32)) > 0.5
+
+    # Exact fallback for non-axis-aligned roads: compacted into a fixed
+    # MAX_DIAG buffer and tested with the general proper-crossing kernel.
+    # The shipped scenarios build zero diagonal roads (documented cap: a
+    # network with > MAX_DIAG diagonal roads would under-block).
+    MAX_DIAG = 128
+    n_diag = jnp.sum(diag)
+
+    def with_diag(blocks):
+        block_r0, block_d0 = blocks
+        packed = rank_compact(diag, seg.reshape(spec.NS, 4), MAX_DIAG)
+        dvalid = jnp.arange(MAX_DIAG) < n_diag
+        da = packed[:, 0:2][None, :, :]
+        db = packed[:, 2:4][None, :, :]
+        cxg, cyg = jnp.meshgrid(xwalk, ywalk, indexing='xy')
+        centers = jnp.stack([cxg, cyg], axis=-1)        # (RC, CC, 2)
+
+        def blocked(p1, p2):
+            hit = jg.segments_cross(p1[:, None, :], p2[:, None, :], da, db)
+            return jnp.any(hit & dvalid[None, :], axis=1)
+
+        br = blocked(centers[:, :-1].reshape(-1, 2),
+                     centers[:, 1:].reshape(-1, 2)).reshape(RC, CC - 1)
+        bd = blocked(centers[:-1].reshape(-1, 2),
+                     centers[1:].reshape(-1, 2)).reshape(RC - 1, CC)
+        return block_r0 | br, block_d0 | bd
+
+    block_r, block_d = jax.lax.cond(n_diag > 0, with_diag,
+                                    lambda blocks: blocks,
+                                    (block_r, block_d))
 
     ids = jnp.arange(RC * CC).reshape(RC, CC)
     big = RC * CC
