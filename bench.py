@@ -76,6 +76,22 @@ def main() -> None:
         eps, fails = n_eps, n_fail
         mean_r = r_sum / max(n_eps - n_fail, 1)
 
+    # honest end-to-end TRAINING throughput: one full PPO train_iteration
+    # (sample + GAE + 4-epoch minibatch update), measured warm
+    train_sps = None
+    try:
+        from urban_tpu.rl.train_tpu import TPUTrainer
+        tcfg = Config('hlg', 0, tmp=True)
+        trainer = TPUTrainer(tcfg, num_envs=B, eval_envs=0, tensorboard=False)
+        trainer.train_iteration(0, do_eval=False)      # compile + warmup
+        t0 = time.time()
+        stats = trainer.train_iteration(1, do_eval=False)
+        dt = time.time() - t0
+        n_steps = B * trainer.rollout_len
+        train_sps = round(n_steps / dt, 1)
+    except Exception as e:  # keep the headline metric robust
+        train_sps = f'unavailable: {type(e).__name__}'
+
     print(json.dumps({
         'metric': 'batched HLG rollout throughput (SGNN policy, jitted env)',
         'value': round(best, 1),
@@ -83,7 +99,8 @@ def main() -> None:
         'vs_baseline': round(best / REFERENCE_STEPS_PER_SEC, 2),
         'detail': {'num_envs': B, 'rollout_len': T, 'episodes': eps,
                    'failures': fails,
-                   'mean_episode_reward': round(mean_r, 3)},
+                   'mean_episode_reward': round(mean_r, 3),
+                   'train_steps_per_sec': train_sps},
     }))
 
 

@@ -108,17 +108,19 @@ def test_lockstep_episode_hlg(seed):
 def test_divergence_metrics():
     """CI wrapper over tools/divergence.py: asserts the divergence envelope
     measured by the 50-seed report (DIVERGENCE.md) holds on a small seed
-    set. Thresholds are set from that report with slack: representability
-    is the strong invariant (the host's chosen block/intersection almost
-    always exists in the jit plan); mask-count equality and full lockstep
-    completion are expected to be partial (threshold-crossing slicer
-    differences are by design, see jaxenv/step.py:19-27)."""
+    set. Round-3 bars (branch-complete slicer + f32 robustness fixes): the
+    50-seed report measures full-lockstep completion 0.80 and mask-count
+    agreement 0.75; the residual divergence class is ill-conditioned
+    near-parallel crossing coordinates, an f32-vs-f64 conditioning limit
+    (~0.1 unit drift against the engine's 1.0-unit snap scale)."""
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
     from tools.divergence import run
 
     summary, results = run(n_seeds=4, scenario='hlg', start_seed=100)
-    assert summary['action_representable_rate'] >= 0.85
-    assert summary['matched_steps_mean'] >= 8.0
+    assert summary['action_representable_rate'] >= 0.95
+    assert summary['matched_steps_mean'] >= 20.0
+    assert summary['mask_count_agreement_rate'] >= 0.6
+    assert summary['full_lockstep_completion_rate'] >= 0.5
     if summary['terminal_reward_delta_max'] is not None:
         assert summary['terminal_reward_delta_max'] <= 0.3

@@ -21,6 +21,67 @@ def ring_mask(nvert: jnp.ndarray, kv: int) -> jnp.ndarray:
     return jnp.arange(kv) < nvert
 
 
+_OH_SELECT_MAX = 1 << 18   # elements; above this the MXU einsum wins
+
+
+def onehot_place(values: jnp.ndarray, idx: jnp.ndarray, ok: jnp.ndarray,
+                 out_len: int) -> jnp.ndarray:
+    """out[o] = values[i] where ok[i] and idx[i] == o (zeros elsewhere).
+
+    Scatter replacement for small fixed-shape compactions: a batched
+    .at[].set lowers to a serial per-row loop on TPU (the neighbor-snap
+    pass alone profiled at ~90 ms/step through that path). Callers
+    guarantee at most one contributor per output row, so the sum is exact.
+
+    Two lowerings by static size: small placements run as a masked
+    select+sum on the VPU — a tiny f32-HIGHEST dot costs ~140 us of MXU
+    latency (6-pass bf16 emulation) while the (O, I, D) select reduce is
+    ~2 us — and only genuinely large contractions take the einsum.
+    values: (n,) or (n, d), any dtype representable in f32 (< 2^24)."""
+    sel = jnp.arange(out_len)
+    oh = (jnp.where(ok, idx, out_len + 1)[None, :] == sel[:, None])
+    v = values[:, None] if values.ndim == 1 else values
+    n, d = v.shape
+    if out_len * n * d <= _OH_SELECT_MAX:
+        out = jnp.sum(jnp.where(oh[:, :, None], v[None, :, :], 0),
+                      axis=1).astype(values.dtype)
+    elif v.dtype == jnp.bool_:
+        # 0/1 values are exact in bf16 — skip the 6-pass f32 emulation
+        out = jnp.einsum('oi,id->od', oh.astype(jnp.bfloat16),
+                         v.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32) > 0.5
+    else:
+        acc = jnp.float64 if v.dtype == jnp.float64 else jnp.float32
+        out = jnp.einsum('oi,id->od', oh.astype(acc), v.astype(acc),
+                         preferred_element_type=acc,
+                         precision=jax.lax.Precision.HIGHEST
+                         ).astype(values.dtype)
+    return out[:, 0] if values.ndim == 1 else out
+
+
+def onehot_update(old: jnp.ndarray, values: jnp.ndarray, idx: jnp.ndarray,
+                  ok: jnp.ndarray) -> jnp.ndarray:
+    """old with rows idx[i] replaced by values[i] where ok[i] — the
+    read-modify-write companion of onehot_place (same scatter-avoidance
+    rationale). At most one contributor per row."""
+    out_len = old.shape[0]
+    sel = jnp.arange(out_len)
+    oh = (jnp.where(ok, idx, out_len + 1)[None, :] == sel[:, None])
+    hit = jnp.any(oh, axis=1)
+    placed = onehot_place(values, idx, ok, out_len)
+    if old.ndim > 1:
+        hit = hit.reshape((out_len,) + (1,) * (old.ndim - 1))
+    return jnp.where(hit, placed.astype(old.dtype), old)
+
+
+def onehot_mask(idx: jnp.ndarray, ok: jnp.ndarray, out_len: int
+                ) -> jnp.ndarray:
+    """(out_len,) bool: True where some ok[i] has idx[i] == o."""
+    sel = jnp.arange(out_len)
+    oh = (jnp.where(ok, idx, out_len + 1)[None, :] == sel[:, None])
+    return jnp.any(oh, axis=1)
+
+
 def ring_roll_indices(nvert: jnp.ndarray, kv: int) -> jnp.ndarray:
     """Index of each vertex's ring successor (wrapping at nvert).
 
@@ -175,8 +236,7 @@ def halfplane_clip_ring(ring: jnp.ndarray, nvert: jnp.ndarray,
     m = ring_mask(nvert, kv)
     # coordinate dots stay in full f32: TPU dot_generals default to bf16
     # passes, which rounds ~1e3-magnitude coordinates to steps of ~8
-    side = jnp.einsum('kd,d->k', ring - a, nrm,
-                      precision=jax.lax.Precision.HIGHEST)
+    side = jnp.sum((ring - a) * nrm[None, :], axis=-1)
     side_nxt = ring_next(side, nvert)
     ring_nxt = ring_next(ring, nvert)
 
@@ -197,13 +257,9 @@ def halfplane_clip_ring(ring: jnp.ndarray, nvert: jnp.ndarray,
     offsets = jnp.cumsum(counts) - counts
     total = jnp.sum(counts)
 
-    out = jnp.zeros((2 * kv, 2), dtype=ring.dtype)
-    # non-emitting rows scatter to index 2*kv, dropped by mode='drop'
-    idx_cur = jnp.where(emit_cur, offsets, 2 * kv)
-    out = out.at[idx_cur].set(ring, mode='drop')
-    idx_cross = jnp.where(emit_cross, offsets + emit_cur.astype(jnp.int32),
-                          2 * kv)
-    out = out.at[idx_cross].set(cross_pt, mode='drop')
+    out = onehot_place(ring, offsets, emit_cur, 2 * kv) + \
+        onehot_place(cross_pt, offsets + emit_cur.astype(jnp.int32),
+                     emit_cross, 2 * kv)
     overflow = total > kv
     out_ring = out[:kv]
     out_nvert = jnp.minimum(total, kv)
@@ -218,9 +274,7 @@ def dedupe_ring(ring: jnp.ndarray, nvert: jnp.ndarray, tol: float = 1e-7):
     keep = m & (~dup | (jnp.arange(kv) == 0))
     counts = keep.astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts
-    out = jnp.zeros_like(ring)
-    idx = jnp.where(keep, offsets, kv - 1)
-    out = out.at[idx].set(jnp.where(keep[:, None], ring, 0.0), mode='drop')
+    out = onehot_place(ring, offsets, keep, kv)
     return out, jnp.sum(counts)
 
 
@@ -321,8 +375,8 @@ def convex_hull_masked(pts: jnp.ndarray, mask: jnp.ndarray,
     left_ok = cross >= -tolc
     collinear = jnp.abs(cross) <= tolc
     denom = jnp.maximum(dlen * dlen, 1e-12)
-    t = jnp.einsum('ijd,ikd->ijk', d, d,
-                   precision=jax.lax.Precision.HIGHEST) / denom[:, :, None]
+    t = jnp.sum(d[:, :, None, :] * d[:, None, :, :], axis=-1) \
+        / denom[:, :, None]
     span_ok = ~collinear | ((t >= -eps) & (t <= 1.0 + eps))
     idk = jnp.arange(k)
     is_end = (idk[None, None, :] == idk[:, None, None]) | \
@@ -343,9 +397,7 @@ def convex_hull_masked(pts: jnp.ndarray, mask: jnp.ndarray,
         ((key[None, :] == key[:, None])
          & (jnp.arange(k)[None, :] < jnp.arange(k)[:, None]))
     rank = jnp.sum(jnp.where(on_hull[None, :], smaller, False), axis=1)
-    out = jnp.zeros_like(pts)
-    idx = jnp.where(on_hull, rank, k - 1)
-    out = out.at[idx].set(jnp.where(on_hull[:, None], pts, 0.0), mode='drop')
+    out = onehot_place(pts, rank, on_hull, k)
     return out, nh
 
 
@@ -367,8 +419,8 @@ def canonicalize_ring(ring: jnp.ndarray, nvert: jnp.ndarray):
     fwd_src = pos
     src0 = jnp.where(ccw, fwd_src, rev_src)
     onehot0 = (src0[:, None] == pos[None, :]) & m[None, :] & m[:, None]
-    r1 = jnp.einsum('ij,jd->id', onehot0.astype(ring.dtype), ring,
-                    precision=jax.lax.Precision.HIGHEST)
+    r1 = jnp.sum(jnp.where(onehot0[:, :, None], ring[None, :, :], 0.0),
+                 axis=1)
     # lexicographic start: min x, then min y (exact f32 comparisons)
     xkey = jnp.where(m, r1[:, 0], BIG)
     minx = jnp.min(xkey)
@@ -377,8 +429,8 @@ def canonicalize_ring(ring: jnp.ndarray, nvert: jnp.ndarray):
     start = jnp.argmin(ykey)
     src1 = jnp.mod(start + pos, n)
     onehot1 = (src1[:, None] == pos[None, :]) & m[None, :] & m[:, None]
-    r2 = jnp.einsum('ij,jd->id', onehot1.astype(ring.dtype), r1,
-                    precision=jax.lax.Precision.HIGHEST)
+    r2 = jnp.sum(jnp.where(onehot1[:, :, None], r1[None, :, :], 0.0),
+                 axis=1)
     return r2, nvert
 
 
@@ -505,11 +557,9 @@ def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
     plane_len = jnp.where(mh, hlen, 0.0)
     cum = jnp.cumsum(plane_len) - plane_len
     L = jnp.maximum(jnp.sum(plane_len), 1e-12)
-    s_tail = cum[kt] + jnp.einsum('pd,pd->p', xy_tail - ha[kt], hd[kt],
-                                  precision=jax.lax.Precision.HIGHEST) \
+    s_tail = cum[kt] + jnp.sum((xy_tail - ha[kt]) * hd[kt], axis=-1) \
         / hlen[kt]
-    s_head = cum[khc] + jnp.einsum('pd,pd->p', xy_head - ha[khc], hd[khc],
-                                   precision=jax.lax.Precision.HIGHEST) \
+    s_head = cum[khc] + jnp.sum((xy_head - ha[khc]) * hd[khc], axis=-1) \
         / hlen[khc]
     if keep_inside:
         dmat = jnp.mod(s_head[None, :] - s_tail[:, None], L)
@@ -535,8 +585,7 @@ def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
     # hull corners on the closing arc from tail(r) to head(sigma(r))
     k_head_s = k_head[sigma]
     xy_head_s = xy_head[sigma]
-    s_along = jnp.einsum('pd,pd->p', xy_head_s - xy_tail, hd[kt],
-                         precision=jax.lax.Precision.HIGHEST)
+    s_along = jnp.sum((xy_head_s - xy_tail) * hd[kt], axis=-1)
     if keep_inside:
         count = jnp.mod(k_head_s - k_tail, nh_s)
         direct = s_along >= 0
@@ -569,20 +618,29 @@ def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
                   run_total[None, :], 0), axis=1)
     pieces_n = jnp.where(is_rep, piece_total, 0)
 
-    # scatter subject chains at their per-run offsets inside their piece
-    pieces = jnp.zeros((n_pieces + 2, kv, 2), dtype=ring.dtype)
+    # place subject chains at their per-run offsets inside their piece;
+    # flattened one-hot contraction instead of a 2D scatter (TPU scatters
+    # serialize) — sentinel rows/cols land in the padding row/columns and
+    # are sliced away below
+    P2 = n_pieces + 2
+    KW = kv + 2
     pid_c = jnp.clip(pid, 0, n_pieces - 1)
     sc_p = jnp.where(emit & (pid < n_pieces), rep[pid_c], n_pieces + 1)
     sc_r = rank + off[pid_c]
     sc_r = jnp.where(emit & (sc_r < kv), sc_r, kv + 1)
-    pieces = pieces.at[sc_p, sc_r].set(pos, mode='drop')
+    flat1 = sc_p * KW + jnp.minimum(sc_r, kv + 1)
 
-    # scatter closing-arc hull corners
     corner = hull[c_idx]                              # (P, KH, 2)
     c_valid = (jnp.arange(kh)[None, :] < count[:, None]) & run_ok[:, None]
     c_pos = (off + chain_len)[:, None] + jnp.arange(kh)[None, :]
     sc_cp = jnp.where(c_valid & (c_pos < kv), c_pos, kv + 1)
-    pieces = pieces.at[rep[:, None], sc_cp].set(corner, mode='drop')
+    rep_b = jnp.broadcast_to(rep[:, None], sc_cp.shape)
+    flat2 = rep_b.reshape(-1) * KW + jnp.minimum(sc_cp.reshape(-1), kv + 1)
+
+    flat = onehot_place(pos, flat1, jnp.ones_like(flat1, bool), P2 * KW) + \
+        onehot_place(corner.reshape(-1, 2), flat2,
+                     jnp.ones_like(flat2, bool), P2 * KW)
+    pieces = flat.reshape(P2, KW, 2)[:, :kv]
 
     overflow = (n_runs > n_pieces) | jnp.any(pieces_n > kv)
 
@@ -644,9 +702,8 @@ def dp_simplify_ring(ring: jnp.ndarray, nvert: jnp.ndarray, tol):
     # rotate so the anchor is vertex 0 (one-hot matmul, gather-free)
     src = jnp.mod(start + pos, n)
     onehot = (src[:, None] == pos[None, :]) & m[None, :]
-    rr = jnp.einsum('ij,jd->id', onehot.astype(ring.dtype), ring,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST).astype(ring.dtype)
+    rr = jnp.sum(jnp.where(onehot[:, :, None], ring[None, :, :], 0.0),
+                 axis=1)
 
     mid = (n + 1) // 2
     kept0 = (pos == 0) | (pos == mid)
@@ -655,10 +712,17 @@ def dp_simplify_ring(ring: jnp.ndarray, nvert: jnp.ndarray, tol):
         kept_m = kept & m
         pk = jax.lax.cummax(jnp.where(kept_m, pos, -1))
         nk = jax.lax.cummin(jnp.where(kept_m, pos, 2 * kv)[::-1])[::-1]
-        # positions after the last kept close against rolled index n == 0
-        a = rr[jnp.clip(pk, 0, kv - 1)]
-        b = jnp.where((nk >= kv)[:, None], rr[0], rr[jnp.clip(nk, 0,
-                                                              kv - 1)])
+        # positions after the last kept close against rolled index n == 0.
+        # one-hot selects, not rr[indices]: these two gathers, unrolled
+        # kv times, were 40 x 0.14 ms = 5.4 ms/step of the rollout profile
+        # (TPU element gathers run through a serial custom call)
+        oh_a = jnp.clip(pk, 0, kv - 1)[:, None] == pos[None, :]
+        a = jnp.sum(jnp.where(oh_a[:, :, None], rr[None, :, :], 0.0),
+                    axis=1)
+        oh_b = jnp.clip(nk, 0, kv - 1)[:, None] == pos[None, :]
+        bg = jnp.sum(jnp.where(oh_b[:, :, None], rr[None, :, :], 0.0),
+                     axis=1)
+        b = jnp.where((nk >= kv)[:, None], rr[0], bg)
         d = point_segment_distance(rr, a, b)
         cand = m & ~kept_m & (pos < n)
         d = jnp.where(cand, d, -1.0)
@@ -669,14 +733,16 @@ def dp_simplify_ring(ring: jnp.ndarray, nvert: jnp.ndarray, tol):
         winner = cand & (d > tol) & (d >= chord_max) & ~earlier_ge
         return kept | winner
 
-    kept = jax.lax.fori_loop(0, kv, body, kept0)
+    # unrolled (kv is small and static): a lax.fori_loop here costs a
+    # device loop sync per iteration, which dominates the tiny body
+    kept = kept0
+    for _ in range(kv):
+        kept = body(0, kept)
     kept = kept & m
     # compact in rolled order, then consecutive-duplicate cleanup
     counts = kept.astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts
-    out = jnp.zeros_like(ring)
-    idx = jnp.where(kept, offsets, kv - 1)
-    out = out.at[idx].set(jnp.where(kept[:, None], rr, 0.0), mode='drop')
+    out = onehot_place(rr, offsets, kept, kv)
     nkeep = jnp.sum(counts)
     out, nkeep = dedupe_ring(out, nkeep)
     passthrough = (nvert <= 4) | (nkeep < 3)
@@ -704,11 +770,8 @@ def insert_points_on_ring(ring: jnp.ndarray, nvert: jnp.ndarray,
     hit = m[:, None] & alive[None, :] & (d <= tol) & ~near_a & ~near_b
     ab = b - a
     denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-12)
-    t = (jnp.einsum('pd,vd->vp', pts, ab,
-                    precision=jax.lax.Precision.HIGHEST)
-         - jnp.einsum('vd,vd->v', a, ab,
-                      precision=jax.lax.Precision.HIGHEST)[:, None]) \
-        / denom[:, None]
+    t = jnp.sum((pts[None, :, :] - a[:, None, :]) * ab[:, None, :],
+                axis=-1) / denom[:, None]
 
     flat_hit = hit.reshape(-1)
     n_ins = jnp.sum(flat_hit)
@@ -737,9 +800,19 @@ def insert_points_on_ring(ring: jnp.ndarray, nvert: jnp.ndarray,
                   < jnp.arange(max_insert)[:, None]))))
     c_out = c_edge + 1 + jnp.sum(jnp.where(c_ok[None, :], before, False),
                                  axis=1)
-    out = jnp.zeros_like(ring)
-    out = out.at[jnp.where(m, v_out, kv + 1)].set(ring, mode='drop')
-    out = out.at[jnp.where(c_ok, c_out, kv + 1)].set(c_pos, mode='drop')
+    # one-hot matmul placement instead of .at[].set: under the rollout's
+    # vmap(B) x vmap(NP) this scatter lowered to a serial per-row loop on
+    # TPU (profiled at ~90 ms/step for the neighbor-snap pass alone); the
+    # (kv, kv) / (kv, I) one-hot contractions vectorize fully, and each
+    # output row has at most one contributor so the sum is exact.
+    sel = jnp.arange(kv)
+    oh_v = (jnp.where(m, v_out, kv + 1)[None, :] == sel[:, None])
+    oh_c = (jnp.where(c_ok, c_out, kv + 1)[None, :] == sel[:, None])
+    hp = jax.lax.Precision.HIGHEST
+    out = jnp.einsum('oi,id->od', oh_v.astype(ring.dtype), ring,
+                     precision=hp) \
+        + jnp.einsum('oi,id->od', oh_c.astype(ring.dtype), c_pos,
+                     precision=hp)
     return out, jnp.minimum(nvert + n_ins, kv), overflow
 
 
@@ -754,18 +827,22 @@ def rank_compact(flags: jnp.ndarray, values: jnp.ndarray,
     """
     r = jnp.cumsum(flags.astype(jnp.int32)) - 1
     onehot = flags[:, None] & (r[:, None] == jnp.arange(out_size)[None, :])
-    acc = jnp.float64 if values.dtype == jnp.float64 else jnp.float32
-    v = values.astype(acc)
-    squeeze = v.ndim == 1
-    if squeeze:
-        v = v[:, None]
-    # TPU matmuls default to bf16 passes; index values exceed bf16's integer
-    # range, so force full f32 precision (exact for ints < 2^24). The
-    # accumulator keeps the input's width (f64 stays f64 under x64 test
-    # runs, where 1e-9-exact coordinates matter). Callers keep n*out_size
-    # bounded (two-stage compaction for large inputs).
-    out = jnp.einsum('no,nd->od', onehot.astype(acc), v,
-                     preferred_element_type=acc,
-                     precision=jax.lax.Precision.HIGHEST)
-    out = out.astype(values.dtype)
+    squeeze = values.ndim == 1
+    v = values[:, None] if squeeze else values
+    n, d = v.shape
+    if out_size * n * d <= _OH_SELECT_MAX:
+        # masked select+sum on the VPU (see onehot_place): tiny f32-HIGHEST
+        # dots are MXU-latency-bound at ~140 us apiece
+        out = jnp.sum(jnp.where(onehot.T[:, :, None], v[None, :, :], 0),
+                      axis=1).astype(values.dtype)
+    else:
+        # TPU matmuls default to bf16 passes; index values exceed bf16's
+        # integer range, so force full f32 precision (exact for ints <
+        # 2^24). The accumulator keeps the input's width (f64 stays f64
+        # under x64 test runs, where 1e-9-exact coordinates matter).
+        acc = jnp.float64 if values.dtype == jnp.float64 else jnp.float32
+        out = jnp.einsum('no,nd->od', onehot.astype(acc), v.astype(acc),
+                         preferred_element_type=acc,
+                         precision=jax.lax.Precision.HIGHEST
+                         ).astype(values.dtype)
     return out[:, 0] if squeeze else out

@@ -97,9 +97,8 @@ def mrr_of(pts: jnp.ndarray) -> jnp.ndarray:
     ok = mh & (nd > 1e-9)
     u = d / jnp.maximum(nd, 1e-9)[:, None]       # (N, 2)
     v = jnp.stack([-u[:, 1], u[:, 0]], axis=-1)
-    hp = jax.lax.Precision.HIGHEST               # exact f32 coordinate dots
-    px = jnp.einsum('nd,md->nm', hull, u, precision=hp)   # (N pts, M dirs)
-    py = jnp.einsum('nd,md->nm', hull, v, precision=hp)
+    px = jnp.sum(hull[:, None, :] * u[None, :, :], axis=-1)  # (N, M)
+    py = jnp.sum(hull[:, None, :] * v[None, :, :], axis=-1)
     px = jnp.where(mh[:, None], px, px[0][None, :])   # pad rows -> point 0
     py = jnp.where(mh[:, None], py, py[0][None, :])
     w = px.max(axis=0) - px.min(axis=0)
@@ -309,9 +308,8 @@ def quad_side_distances(pts, quad):
     b = jnp.roll(quad, -1, axis=0)
     d = b - a                                        # (4, 2)
     nrm = jnp.stack([-d[:, 1], d[:, 0]], axis=-1)    # inward normals (CCW)
-    hp = jax.lax.Precision.HIGHEST
-    return jnp.einsum('nd,qd->nq', pts, nrm, precision=hp) - \
-        jnp.einsum('qd,qd->q', a, nrm, precision=hp)[None, :]
+    return jnp.sum((pts[:, None, :] - a[None, :, :]) * nrm[None, :, :],
+                   axis=-1)
 
 
 def _count_outside_arcs(ring, nv, quad):
@@ -418,11 +416,18 @@ def half_or_part_cut(ring, nv, X, E, pts, pt_alive, lp: LuParams):
 
 def whole_edge_cut(ring, nv, pc1, pc2, pts, pt_alive, lp: LuParams):
     """Host slice_from_whole_edge for boundary edge (pc1, pc2).
-    Returns (quad, fail)."""
-    p_1, ok1 = other_endpoint_at(ring, nv, pc1, pc2)
-    p_2, ok2 = other_endpoint_at(ring, nv, pc2, pc1)
-    cc1 = interval_concave(ring, nv, pc1, p_1, pc2)
-    cc2 = interval_concave(ring, nv, pc2, p_2, pc1)
+    Returns (quad, fail). The two endpoint-symmetric subtrees run as one
+    2-lane vmap — the op-count of the tree, not its FLOPs, bounds the
+    rollout step rate."""
+    PC = jnp.stack([pc1, pc2])
+    PCo = jnp.stack([pc2, pc1])
+    P12, OK12 = jax.vmap(other_endpoint_at, in_axes=(None, None, 0, 0))(
+        ring, nv, PC, PCo)
+    p_1, p_2 = P12[0], P12[1]
+    ok1, ok2 = OK12[0], OK12[1]
+    CC = jax.vmap(interval_concave, in_axes=(None, None, 0, 0, 0))(
+        ring, nv, PC, P12, PCo)
+    cc1, cc2 = CC[0], CC[1]
 
     el = jnp.linalg.norm(pc2 - pc1)
     el_m = jnp.maximum(el, 1e-9) * lp.cell
@@ -431,21 +436,22 @@ def whole_edge_cut(ring, nv, pc1, pc2, pts, pt_alive, lp: LuParams):
     cut_pp = part_edge_cut(ring, nv, pc1, pc2, max_buf, thres, lp)
 
     rs, rmin, rmax = rectify(el, lp)
-    s1, w1 = slice_edge_end(pc1, p_1, pts, pt_alive, lp, rmin, rmax, rs)
-    s2, w2 = slice_edge_end(pc2, p_2, pts, pt_alive, lp, rmin, rmax, rs)
+    S12, W12 = jax.vmap(
+        slice_edge_end,
+        in_axes=(0, 0, None, None, None, None, None, None))(
+        PC, P12, pts, pt_alive, lp, rmin, rmax, rs)
+    s1, s2 = S12[0], S12[1]
+    w1, w2 = W12[0], W12[1]
     cut_uu = u_shape_cut(pc1, pc2, s1, s2, lp)
 
-    cut_a1 = angle_cut(pc1, pc2, s1)
-    cut_l1, fl1 = l_shape_cut(ring, nv, pc1, p_1, pc2, pc1, pc2, pts,
-                              pt_alive, lp)
-    cut_cv1 = jnp.where(w1, cut_l1, cut_a1)
-    fail_cv1 = w1 & fl1
-
-    cut_a2 = angle_cut(pc2, pc1, s2)
-    cut_l2, fl2 = l_shape_cut(ring, nv, pc2, p_2, pc1, pc2, pc1, pts,
-                              pt_alive, lp)
-    cut_cv2 = jnp.where(w2, cut_l2, cut_a2)
-    fail_cv2 = w2 & fl2
+    CA = jax.vmap(angle_cut)(PC, PCo, S12)
+    CL, FL = jax.vmap(
+        l_shape_cut, in_axes=(None, None, 0, 0, 0, 0, 0, None, None, None))(
+        ring, nv, PC, P12, PCo, PC, PCo, pts, pt_alive, lp)
+    cut_cv1 = jnp.where(w1, CL[0], CA[0])
+    fail_cv1 = w1 & FL[0]
+    cut_cv2 = jnp.where(w2, CL[1], CA[1])
+    fail_cv2 = w2 & FL[1]
 
     cut = jnp.where(cc1 & cc2, cut_pp,
                     jnp.where(~cc1 & ~cc2, cut_uu,
@@ -458,41 +464,29 @@ def whole_edge_cut(ring, nv, pc1, pc2, pts, pt_alive, lp: LuParams):
     return cut, fail
 
 
-def corner_entry_cut(ring, nv, X, p_1, p_2, pts, pt_alive, lp: LuParams):
-    """Host slice_polygon_from_corner: intersection X at a ring vertex with
-    neighbor vertices p_1, p_2 (in the host's touching-edge order).
-    Returns (quad, fail)."""
-    concave0 = interval_concave(ring, nv, X, p_1, p_2)
-
-    s1, w1 = slice_edge_end(X, p_1, pts, pt_alive, lp, lp.min_edge,
-                            lp.max_edge, lp.search_max_length)
-    s2, w2 = slice_edge_end(X, p_2, pts, pt_alive, lp, lp.min_edge,
-                            lp.max_edge, lp.search_max_length)
+def corner_convex_cut(ring, nv, X, p_1, p_2, pts, pt_alive, lp: LuParams):
+    """Convex-corner branch of host slice_polygon_from_corner (rect-tri /
+    the two L-shapes), with the symmetric lanes vmapped. Returns
+    (quad, fail)."""
+    P = jnp.stack([p_1, p_2])
+    S12, W12 = jax.vmap(
+        slice_edge_end,
+        in_axes=(None, 0, None, None, None, None, None, None))(
+        X, P, pts, pt_alive, lp, lp.min_edge, lp.max_edge,
+        lp.search_max_length)
+    s1, s2 = S12[0], S12[1]
+    w1, w2 = W12[0], W12[1]
     thres_grid = lp.common_min_edge / lp.cell
     cut_rt = rect_tri_cut(X, s1, s2, thres_grid, lp)
-    cut_l1, fl1 = l_shape_cut(ring, nv, X, p_1, s2, X, s2, pts, pt_alive, lp)
-    cut_l2, fl2 = l_shape_cut(ring, nv, X, p_2, s1, X, s1, pts, pt_alive, lp)
+    Sswap = jnp.stack([s2, s1])
+    CL, FL = jax.vmap(
+        l_shape_cut, in_axes=(None, None, None, 0, 0, None, 0, None, None,
+                              None))(
+        ring, nv, X, P, Sswap, X, Sswap, pts, pt_alive, lp)
     cut_cv = jnp.where(~w1 & ~w2, cut_rt,
-                       jnp.where(w1, cut_l1, cut_l2))
-    fail_cv = jnp.where(~w1 & ~w2, False, jnp.where(w1, fl1, fl2))
-
-    use1 = jnp.linalg.norm(p_1 - X) >= jnp.linalg.norm(p_2 - X)
-    E = jnp.where(use1, p_1, p_2)
-    cut_cc, fcc = half_or_part_cut(ring, nv, X, E, pts, pt_alive, lp)
-    return (jnp.where(concave0, cut_cc, cut_cv),
-            jnp.where(concave0, fcc, fail_cv))
-
-
-def edge_entry_cut(ring, nv, X, A, B, pts, pt_alive, lp: LuParams):
-    """Host slice_polygon_from_edge: intersection X mid-edge on boundary
-    edge (A, B). Returns (quad, fail)."""
-    short = jnp.linalg.norm(B - A) * lp.cell <= lp.search_max_length
-    cut_we, fwe = whole_edge_cut(ring, nv, A, B, pts, pt_alive, lp)
-    use_A = jnp.linalg.norm(A - X) >= jnp.linalg.norm(B - X)
-    E = jnp.where(use_A, A, B)
-    cut_hp, fhp = half_or_part_cut(ring, nv, X, E, pts, pt_alive, lp)
-    return (jnp.where(short, cut_we, cut_hp),
-            jnp.where(short, fwe, fhp))
+                       jnp.where(w1, CL[0], CL[1]))
+    fail_cv = jnp.where(~w1 & ~w2, False, jnp.where(w1, FL[0], FL[1]))
+    return cut_cv, fail_cv
 
 
 # ---------------------------------------------------------------------------
@@ -517,9 +511,7 @@ def simplify_by_angle(ring, nv, deg_tol: float = DEG_TOL):
     keep = jnp.where(n_keep >= 3, keep, m)
     counts = keep.astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts
-    out = jnp.zeros_like(ring)
-    idx = jnp.where(keep, offsets, kv - 1)
-    out = out.at[idx].set(jnp.where(keep[:, None], ring, 0.0), mode='drop')
+    out = jg.onehot_place(ring, offsets, keep, kv)
     return out, jnp.where(n_keep >= 3, n_keep, nv)
 
 
@@ -544,8 +536,11 @@ def compute_cutter(ring, nv, X, pts, pt_alive, lp: LuParams):
     at0 = vi == 0
     p_1c = jnp.where(at0, S[nxt_idx[vi]], S[prv_idx[vi]])
     p_2c = jnp.where(at0, S[prv_idx[vi]], S[nxt_idx[vi]])
-    cut_c, fail_c = corner_entry_cut(S, snv, X, p_1c, p_2c, pts, pt_alive,
-                                     lp)
+    concave0 = interval_concave(S, snv, X, p_1c, p_2c)
+    cut_cv, fail_cv = corner_convex_cut(S, snv, X, p_1c, p_2c, pts,
+                                        pt_alive, lp)
+    use1 = jnp.linalg.norm(p_1c - X) >= jnp.linalg.norm(p_2c - X)
+    E_cc = jnp.where(use1, p_1c, p_2c)
 
     # mid-edge: nearest boundary edge, host near-two-edges failure
     segs, segmask = jg.ring_segments(S, snv)
@@ -558,7 +553,21 @@ def compute_cutter(ring, nv, X, pts, pt_alive, lp: LuParams):
     ei = jnp.argmax(near)
     A = S[ei]
     B = S[nxt_idx[ei]]
-    cut_e, fail_e = edge_entry_cut(S, snv, X, A, B, pts, pt_alive, lp)
+    short = jnp.linalg.norm(B - A) * lp.cell <= lp.search_max_length
+    cut_we, fwe = whole_edge_cut(S, snv, A, B, pts, pt_alive, lp)
+    use_A = jnp.linalg.norm(A - X) >= jnp.linalg.norm(B - X)
+    E_we = jnp.where(use_A, A, B)
+
+    # the concave-corner and long-edge subtrees are the same
+    # half_or_part_cut with different far endpoints — one 2-lane vmap
+    CH, FH = jax.vmap(
+        half_or_part_cut, in_axes=(None, None, None, 0, None, None, None))(
+        S, snv, X, jnp.stack([E_cc, E_we]), pts, pt_alive, lp)
+
+    cut_c = jnp.where(concave0, CH[0], cut_cv)
+    fail_c = jnp.where(concave0, FH[0], fail_cv)
+    cut_e = jnp.where(short, cut_we, CH[1])
+    fail_e = jnp.where(short, fwe, FH[1])
 
     cut = jnp.where(is_corner, cut_c, cut_e)
     fail = jnp.where(is_corner, fail_c, fail_e | fail_two)

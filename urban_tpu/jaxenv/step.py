@@ -297,9 +297,7 @@ def distance_simplify_ring(ring, nv, tol):
     ok = nk >= 3
     counts = keep.astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts
-    out = jnp.zeros_like(ring)
-    idx = jnp.where(keep, offsets, kv - 1)
-    out = out.at[idx].set(jnp.where(keep[:, None], ring, 0.0), mode='drop')
+    out = jg.onehot_place(ring, offsets, keep, kv)
     return jnp.where(ok, out, ring), jnp.where(ok, nk, nv)
 
 
@@ -515,27 +513,51 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     scatter_idx = jnp.where(is_new, pt_slots[jnp.clip(new_rank, 0,
                                                       MAX_NEW_PTS - 1)],
                             spec.NPT)
-    pt = state.pt.at[scatter_idx].set(cand, mode='drop')
-    pt_alive = state.pt_alive.at[scatter_idx].set(True, mode='drop')
+    pt = jg.onehot_update(state.pt, cand, scatter_idx, is_new)
+    pt_alive = state.pt_alive | jg.onehot_mask(scatter_idx, is_new,
+                                               spec.NPT)
 
     # gather the new points in rank order for splitting
-    new_pts = jnp.zeros((MAX_NEW_PTS, 2))
-    new_pts = new_pts.at[jnp.where(is_new, new_rank, MAX_NEW_PTS)].set(
-        cand, mode='drop')
+    new_pts = jg.onehot_place(cand, new_rank, is_new, MAX_NEW_PTS)
     pt_valid = jnp.arange(MAX_NEW_PTS) < n_new
 
     # ---- snap neighbor polygons onto the new intersections ---------------
     # Host _add_new_intersections snaps EVERY alive geometry onto each new
     # point (plan_client.py:455-461): a parcel corner landing on a
-    # neighbor's edge becomes a vertex of that neighbor's ring.
-    nb_ring, nb_nv, nb_ovf = jax.vmap(
+    # neighbor's edge becomes a vertex of that neighbor's ring. Only a
+    # handful of polys can be touched (each new point lies on at most one
+    # existing boundary), so compact the affected polys into a fixed
+    # MAX_NB buffer and run the insertion there instead of over all NP.
+    MAX_NB = MAX_NEW_PTS
+    nb_alive = state.poly_alive & (jnp.arange(spec.NP) != p)
+    d_nb = jg.point_segment_distance(
+        new_pts[None, None, :, :],                     # (1, 1, P, 2)
+        state.poly_ring[:, :, None, :],                # (NP, KV, 1, 2)
+        jax.vmap(jg.ring_next)(state.poly_ring,
+                               state.poly_nvert)[:, :, None, :])
+    kvp_m = jax.vmap(jg.ring_mask, in_axes=(0, None))(
+        state.poly_nvert, kvp)
+    touched = nb_alive & jnp.any(
+        kvp_m[:, :, None] & pt_valid[None, None, :] & (d_nb <= EPS),
+        axis=(1, 2))
+    n_touch = jnp.sum(touched)
+    fail = fail | (n_touch > MAX_NB)
+    nb_idx = rank_compact(touched, jnp.arange(spec.NP, dtype=jnp.int32),
+                          MAX_NB).astype(jnp.int32)
+    nb_ok = jnp.arange(MAX_NB) < n_touch
+    nb_rows = jnp.clip(nb_idx, 0, spec.NP - 1)
+    sub_ring = state.poly_ring[nb_rows]
+    sub_nv = state.poly_nvert[nb_rows]
+    ins_ring, ins_nv, ins_ovf = jax.vmap(
         lambda r, n: jg.insert_points_on_ring(r, n, new_pts, pt_valid, EPS,
                                               max_insert=MAX_NEW_PTS))(
-            state.poly_ring, state.poly_nvert)
-    nb_alive = state.poly_alive & (jnp.arange(spec.NP) != p)
-    base_ring = jnp.where(nb_alive[:, None, None], nb_ring, state.poly_ring)
-    base_nvert = jnp.where(nb_alive, nb_nv, state.poly_nvert)
-    fail = fail | jnp.any(nb_alive & nb_ovf)
+            sub_ring, sub_nv)
+    fail = fail | jnp.any(nb_ok & ins_ovf)
+    base_ring = jg.onehot_update(
+        state.poly_ring.reshape(spec.NP, kvp * 2),
+        ins_ring.reshape(MAX_NB, kvp * 2), nb_idx, nb_ok
+    ).reshape(spec.NP, kvp, 2)
+    base_nvert = jg.onehot_update(state.poly_nvert, ins_nv, nb_idx, nb_ok)
 
     # ---- split segments at new intersections ---------------------------
     # Vectorized multi-split (replaces a MAX_NEW_PTS-long sequential loop):
@@ -572,11 +594,8 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     ab = hit_b - hit_a
     denom = jnp.maximum(jnp.sum(ab * ab, axis=-1), 1e-12)
     # per hit seg: t of each new pt along it (BIG when not on this seg)
-    t = jnp.einsum('pd,hd->hp', new_pts, ab,
-                   precision=jax.lax.Precision.HIGHEST) / denom[:, None] \
-        - jnp.einsum('hd,hd->h', hit_a, ab,
-                     precision=jax.lax.Precision.HIGHEST)[:, None] \
-        / denom[:, None]
+    t = jnp.sum((new_pts[None, :, :] - hit_a[:, None, :])
+                * ab[:, None, :], axis=-1) / denom[:, None]
     on_this = hits[:, jnp.clip(hit_idx, 0, spec.NS - 1)].T    # (H, P)
     t = jnp.where(on_this, t, jg.BIG)
     cnt = jnp.sum(on_this, axis=1)                            # pts per seg
@@ -603,8 +622,7 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
         (MAX_HIT_SEGS, PIECES_PER_SEG))
 
     # kill parents, allocate and write pieces
-    kill_mask = jnp.zeros(spec.NS, bool).at[
-        jnp.where(hit_valid, hit_idx, spec.NS)].set(True, mode='drop')
+    kill_mask = jg.onehot_mask(hit_idx, hit_valid, spec.NS)
     seg_alive = seg_alive & ~kill_mask
     flat_valid = piece_valid_s.reshape(-1)
     n_pieces = jnp.sum(flat_valid)
@@ -615,9 +633,12 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
                      slots[jnp.clip(rankp, 0,
                                     MAX_HIT_SEGS * PIECES_PER_SEG - 1)],
                      spec.NS)
-    seg = seg.at[widx].set(new_seg_coords.reshape(-1, 2, 2), mode='drop')
-    seg_type = seg_type.at[widx].set(new_seg_types.reshape(-1), mode='drop')
-    seg_alive = seg_alive.at[widx].set(True, mode='drop')
+    seg = jg.onehot_update(seg.reshape(spec.NS, 4),
+                           new_seg_coords.reshape(-1, 4), widx,
+                           flat_valid).reshape(spec.NS, 2, 2)
+    seg_type = jg.onehot_update(seg_type, new_seg_types.reshape(-1), widx,
+                                flat_valid)
+    seg_alive = seg_alive | jg.onehot_mask(widx, flat_valid, spec.NS)
     split_slots = jnp.where(
         jnp.arange(MAX_HIT_SEGS * PIECES_PER_SEG) < n_pieces,
         slots, spec.NS).astype(jnp.int32)
@@ -638,10 +659,13 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     bidx = jnp.where(gflat,
                      b_slots[jnp.clip(need_rank, 0, MAX_NEW_SEGS - 1)],
                      spec.NS)
-    new_b = jnp.stack([gap_a.reshape(-1, 2), gap_b.reshape(-1, 2)], axis=1)
-    seg = seg.at[bidx].set(new_b, mode='drop')
-    seg_type = seg_type.at[bidx].set(city_config.BOUNDARY, mode='drop')
-    seg_alive = seg_alive.at[bidx].set(True, mode='drop')
+    new_b = jnp.concatenate([gap_a.reshape(-1, 2), gap_b.reshape(-1, 2)],
+                            axis=1)                              # (G, 4)
+    seg = jg.onehot_update(seg.reshape(spec.NS, 4), new_b, bidx,
+                           gflat).reshape(spec.NS, 2, 2)
+    bset = jg.onehot_mask(bidx, gflat, spec.NS)
+    seg_type = jnp.where(bset, city_config.BOUNDARY, seg_type)
+    seg_alive = seg_alive | bset
 
     # ---- simplify + snap the remaining pieces (host re-adds them through
     # _update_gdf with build_boundary=False: no new points allowed) --------
@@ -677,15 +701,23 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
         ring_feat8(parcel_r, parcel_n))
     piece_feats = jax.vmap(ring_feat8)(pieces_r, pieces_n)   # (4, 8)
     pidx = jnp.where(piece_valid, piece_slots, spec.NP)
-    poly_feat = poly_feat.at[:, pidx].set(piece_feats.T, mode='drop')
-    poly_ring = poly_ring.at[pidx].set(pieces_r, mode='drop')
-    poly_nvert = poly_nvert.at[pidx].set(pieces_n, mode='drop')
-    poly_type = poly_type.at[pidx].set(city_config.FEASIBLE, mode='drop')
-    poly_alive = poly_alive.at[pidx].set(True, mode='drop')
+    poly_feat = jg.onehot_update(poly_feat.T, piece_feats, pidx,
+                                 piece_valid).T
+    poly_ring = jg.onehot_update(
+        poly_ring.reshape(spec.NP, kvp * 2),
+        pieces_r.reshape(pieces_r.shape[0], kvp * 2), pidx,
+        piece_valid).reshape(spec.NP, kvp, 2)
+    poly_nvert = jg.onehot_update(poly_nvert, pieces_n, pidx, piece_valid)
+    pset = jg.onehot_mask(pidx, piece_valid, spec.NP)
+    poly_type = jnp.where(pset, city_config.FEASIBLE, poly_type)
+    poly_alive = poly_alive | pset
     prect, peqi, psc = jax.vmap(ring_shape_metrics)(pieces_r, pieces_n)
-    poly_rect = poly_rect.at[pidx].set(prect, mode='drop')
-    poly_eqi = poly_eqi.at[pidx].set(peqi, mode='drop')
-    poly_sc = poly_sc.at[pidx].set(psc, mode='drop')
+    poly_rect = jg.onehot_update(
+        poly_rect.reshape(spec.NP, -1),
+        prect.reshape(prect.shape[0], -1), pidx,
+        piece_valid).reshape(state.poly_rect.shape)
+    poly_eqi = jg.onehot_update(poly_eqi, peqi, pidx, piece_valid)
+    poly_sc = jg.onehot_update(poly_sc, psc, pidx, piece_valid)
 
     # ---- stats ----------------------------------------------------------
     plan_area = state.plan_area.at[actual_t].add(parcel_area_m)
@@ -763,9 +795,9 @@ def update_contiguity(spec: EnvSpec, state: PlanState,
         & kvalid[None, None, :], axis=(1, 2))
     edge_alive = state.edge_alive & ~e_hit
 
-    killed_mask = jnp.zeros(sentinel + 1, bool)
-    killed_mask = killed_mask.at[
-        jnp.where(kvalid, killed_ids, sentinel)].set(True, mode='drop')
+    killed_mask = jnp.concatenate([
+        jg.onehot_mask(killed_ids, kvalid, sentinel),
+        jnp.zeros(1, bool)])
 
     # ---- incidence maintenance -----------------------------------------
     incidence = state.incidence & ~killed_mask[:sentinel, None]
@@ -801,9 +833,7 @@ def update_contiguity(spec: EnvSpec, state: PlanState,
 
     rows = jnp.concatenate([rows_poly, rows_pt, rows_seg]) \
         & state.pt_alive[None, :]
-    row_idx = jnp.where(new_ids >= 0, new_ids, sentinel)
-    incidence = incidence.at[row_idx].set(rows, mode='drop',
-                                          unique_indices=True)
+    incidence = jg.onehot_update(incidence, rows, new_ids, new_ids >= 0)
 
     # columns for new points against OLD alive polygons: a new point landing
     # on a neighbouring polygon's boundary makes them contiguous even though
@@ -821,10 +851,8 @@ def update_contiguity(spec: EnvSpec, state: PlanState,
     col_idx = jnp.where(is_new_pt, new_pt_ids - spec.NP - spec.NS, spec.NPT)
     col_onehot = (col_idx[:, None] == jnp.arange(spec.NPT)[None, :]) & \
         is_new_pt[:, None]                               # (n_pts, NPT)
-    add_cols = jnp.einsum('jp,jk->pk', on_poly.astype(jnp.float32),
-                          col_onehot.astype(jnp.float32),
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST) > 0.5
+    add_cols = jnp.any(on_poly[:, :, None] & col_onehot[:, None, :],
+                       axis=0)
     incidence = incidence.at[:spec.NP].max(add_cols)
 
     # ---- contiguity via incidence matmul --------------------------------
@@ -837,11 +865,9 @@ def update_contiguity(spec: EnvSpec, state: PlanState,
                        preferred_element_type=jnp.float32) > 0.5
     touch = touch & alive[None, :] & (new_ids[:, None] >= 0)
     # drop self pairs and duplicate new-new pairs (keep earlier-rank target)
-    new_rank_of = jnp.full(sentinel + 1, -1, jnp.int32)
-    new_rank_of = new_rank_of.at[
-        jnp.where(new_ids >= 0, new_ids, sentinel)].set(
-        jnp.arange(n_new, dtype=jnp.int32), mode='drop')
-    tgt_rank = new_rank_of[:sentinel]
+    # rank+1 through the one-hot place (its empty rows give 0 -> rank -1)
+    tgt_rank = jg.onehot_place(jnp.arange(1, n_new + 1, dtype=jnp.int32),
+                               new_ids, new_ids >= 0, sentinel) - 1
     feat_ids = jnp.arange(sentinel, dtype=jnp.int32)
     touch = touch & (feat_ids[None, :] != new_ids[:, None])
     touch = touch & ((tgt_rank[None, :] < 0)
