@@ -29,6 +29,61 @@ def test_ga_logits_match_host_policy():
         assert lu == int(host_action[0])
 
 
+def test_ga_road_logits_match_host_policy():
+    """ga_logits_jax's road head reproduces GAPolicy's road-stage linear
+    scoring on a grid episode driven into the road phase (reference
+    baseline.py:191-246, the stage!=land_use branch)."""
+    import logging
+    logger = logging.getLogger('ga-road-test')
+    logger.addHandler(logging.NullHandler())
+    logger.propagate = False
+    cfg = Config('grid', 0, tmp=True)
+    env = CityEnv(cfg)
+    obs = env.reset()
+    rng = np.random.default_rng(5)
+    pol = GAPolicy()
+    gene = rng.uniform(-5, 5, size=47)
+    # drive with the GA policy itself until the road stage activates
+    for _ in range(80):
+        if obs[-1].argmax() != 0:
+            break
+        a = pol.select_action(obs, gene, rng, mean_action=True)
+        obs, r, done, info = env.step(a, logger)
+        assert not done, 'grid land-use phase failed under the GA policy'
+    assert obs[-1].argmax() != 0, 'never reached the road stage'
+    for trial in range(5):
+        g = rng.uniform(-5, 5, size=47)
+        host_action = pol.select_action(obs, g, rng, mean_action=True)
+        obs_j = [jnp.asarray(o) for o in obs]
+        obs_j[2] = jnp.asarray(np.asarray(obs[2], dtype=np.int32))
+        lu_logits, rd_logits = ga_logits_jax(tuple(obs_j), jnp.asarray(g))
+        rd = int(jnp.argmax(jnp.where(obs_j[7], rd_logits, -jnp.inf)))
+        assert rd == int(host_action[1])
+
+
+def test_ga_multigeneration_population20():
+    """A small but real GA run: population 20 through 3 generations of the
+    vmapped jit-env fitness (reference train_ga.py:69-94 runs pygad over
+    host episodes; here the whole population is one jitted rollout)."""
+    from urban_tpu.rl.ga import GA, GAConfig
+    cfg = Config('hlg', 111, tmp=True, agent='ga')
+    plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
+    spec = build_env_spec(cfg, plc, max_steps=cfg.max_sequence_length)
+    init_state = build_initial_state(spec, plc)
+    pf = make_ga_population_fitness(spec, init_state, num_steps=45,
+                                    seed=111)
+    ga = GA(GAConfig(num_generations=3, sol_per_pop=20, num_genes=47,
+                     seed=11),
+            fitness_func=None, population_fitness_func=pf)
+    ga.run()
+    best_gene, best_fit, _ = ga.best_solution()
+    assert best_gene.shape == (47,)
+    assert np.isfinite(best_fit)
+    assert best_fit > 2.0  # a pop-20 GA finds a completing HLG plan
+    # fitness is monotone over generations in the elitist GA
+    assert ga.best_solutions_fitness[-1] >= ga.best_solutions_fitness[0]
+
+
 def test_ga_population_fitness_vmapped():
     """Whole-population fitness in one jitted call: finite scores, failures
     mapped to -1, plausible HLG reward range."""
@@ -44,5 +99,7 @@ def test_ga_population_fitness_vmapped():
     assert np.isfinite(f).all()
     ok = f > 0
     assert ok.any()
-    assert ((f[ok] > 2.0) & (f[ok] < 4.5)).all()
+    # plausible HLG episode-reward range (exact-slicer env shifts random-
+    # gene outcomes slightly vs the round-2 envelope variant)
+    assert ((f[ok] > 1.5) & (f[ok] < 4.5)).all()
     assert ((f[~ok] == -1.0)).all()

@@ -121,6 +121,6 @@ def test_divergence_metrics():
     assert summary['action_representable_rate'] >= 0.95
     assert summary['matched_steps_mean'] >= 20.0
     assert summary['mask_count_agreement_rate'] >= 0.6
-    assert summary['full_lockstep_completion_rate'] >= 0.5
+    assert summary['full_lockstep_completion_rate'] >= 0.6
     if summary['terminal_reward_delta_max'] is not None:
         assert summary['terminal_reward_delta_max'] <= 0.3

@@ -147,24 +147,30 @@ def summarize(results, scenario):
 
 
 ANALYSIS = """
-## Decision: the collapsed slicer tail branches stay collapsed
+## Round 3: the jit slicer is branch-complete; lockstep is the norm
 
-The metrics above quantify the known jit-tier simplifications (U/L-shape
-refinement loops and rect-tri shrinking collapse to envelopes,
-jaxenv/step.py:19-27): per-step mask COUNTS diverge early (the two engines
-cut slightly different parcels), but the host's chosen block/intersection
-remains representable in the jit plan ~96% of steps, and episodes track in
-lockstep for ~16 of ~29 placements.
+The jit tier now evaluates the host's FULL slicing decision tree
+(jaxenv/slicer.py — U/L-shape refinement, rect-tri shrinking, part-edge
+sweeps), plus the round-3 f32 robustness fixes (exact interior-cone
+concavity, FMA-proof hull predicates, lever-arm-aware plane slack, the
+shared MRR tie-break, host-canonical DP anchoring, neighbor-ring vertex
+insertion). A majority of seeded episodes now replay the host engine in
+FULL lockstep to termination — identical plan counts every step, both
+engines finishing together (a step where both engines reject the same
+action with the terminal failure reward counts as parity) — and
+mask-count agreement holds on ~3/4 of all steps.
 
-What settles the question is cross-engine transfer on the actual use case:
-a policy trained entirely in the jit env converges to plans whose
-host-engine score agrees with the jit score within 0.5% (jit 4.088 vs
-host 4.067 on the trained HLG best plan, BASELINE.md), and lockstep
-terminal-reward deltas stay <= 0.21. The jit tier is a faithful training
-proxy for the published metric; porting the remaining slicer branches
-would buy mask-count parity, not reward fidelity, and is deferred.
+The residual divergence class is no longer a missing branch: it is
+ill-conditioned crossing coordinates. When a cut side meets a block edge
+at a near-parallel angle, the f32 intersection point can drift ~0.1 grid
+units from the float64 host's (measured: host 935.766 vs jit 935.780 on
+seed 101) — far inside the engine's 1.0-unit snap tolerance, so the plans
+stay functionally identical, but a later borderline decision (a DP keep,
+a sliver threshold) can eventually flip. This is an f32-vs-f64
+conditioning limit, not a fidelity bug; terminal rewards of lockstep
+episodes agree to <= 0.18 (mean 0.04, the documented sampled-greenness
+deviation).
 """
-
 
 def write_report(summary, results, path):
     lines = [
@@ -205,6 +211,12 @@ def write_report(summary, results, path):
 
 
 if __name__ == '__main__':
+    # CPU differential harness: the host oracle is CPU-bound anyway, and
+    # pinning the jit tier to CPU keeps the report reproducible when the
+    # TPU tunnel is busy or down (JAX_PLATFORMS env is ignored by the
+    # axon plugin — only the config route works)
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     scenario = sys.argv[2] if len(sys.argv) > 2 else 'hlg'
     summary, results = run(n, scenario)
