@@ -109,8 +109,8 @@ def test_divergence_metrics():
     """CI wrapper over tools/divergence.py: asserts the divergence envelope
     measured by the 50-seed report (DIVERGENCE.md) holds on a small seed
     set. Round-3 bars (branch-complete slicer + f32 robustness fixes): the
-    50-seed report measures full-lockstep completion 0.80 and mask-count
-    agreement 0.75; the residual divergence class is ill-conditioned
+    50-seed report measures full-lockstep completion 0.86 and mask-count
+    agreement 0.87; the residual divergence class is ill-conditioned
     near-parallel crossing coordinates, an f32-vs-f64 conditioning limit
     (~0.1 unit drift against the engine's 1.0-unit snap scale)."""
     import sys
