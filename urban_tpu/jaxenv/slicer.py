@@ -22,9 +22,8 @@ evaluates EVERY branch of the tree as fixed-shape compute and selects with
 
 Known approximations vs the host (each measure-zero for snapped plans, all
 covered by tests/test_jax_slicer.py differential cases): ring-vertex snap
-onto a mid-edge intersection within ``distance+eps`` is skipped, MRR
-area-ties may pick a different (equal-area) orientation, and arc counting
-misses difference pieces that contain no ring vertex.
+onto a mid-edge intersection within ``distance+eps`` is skipped, and MRR
+area-ties may pick a different (equal-area) orientation.
 """
 from __future__ import annotations
 
@@ -313,16 +312,48 @@ def quad_side_distances(pts, quad):
 
 
 def _count_outside_arcs(ring, nv, quad):
-    """Number of maximal cyclic runs of ring vertices strictly outside the
-    convex CCW quad (proxy for the host's difference piece count)."""
+    """Number of pieces `ring difference quad` splits into (the host counts
+    the difference pieces exactly, reference shapely.py:373-377).
+
+    For a CONVEX cutter the pieces of the difference biject with the maximal
+    boundary arcs of the ring outside the quad, and each arc ends where the
+    boundary ENTERS the quad.  Entries are counted by clipping every ring
+    segment against the quad's four inward halfplanes (Liang-Barsky): a
+    segment whose start vertex lies outside and whose clipped interval is
+    nonempty records exactly one entry (a segment meets a convex region in
+    at most one interval).  Unlike a vertex-transition count, this also
+    catches segments that pass straight THROUGH the quad with both endpoints
+    outside — e.g. a deep part-edge probe from the middle of a long block
+    edge contains no ring vertex at all but still splits the block in two
+    (tests/test_jax_slicer.py::test_part_edge_deep_hand)."""
     kv = ring.shape[0]
     m = jg.ring_mask(nv, kv)
-    outside = jnp.any(quad_side_distances(ring, quad) < -1e-7, axis=1) & m
-    nxt = jg.ring_next(outside, nv)
-    # one run per outside->inside transition along the successor direction
-    n_runs = jnp.sum(jnp.where(m, outside & ~nxt, False))
-    all_out = jnp.all(jnp.where(m, outside, True))
-    return jnp.where(all_out & (jnp.sum(m) > 0), 1, n_runs)
+    a = ring
+    b = jg.ring_next(ring, nv)
+    qa = quad
+    qd = jnp.roll(quad, -1, axis=0) - qa
+    nrm = jnp.stack([-qd[:, 1], qd[:, 0]], axis=-1)        # inward (CCW)
+    nrm = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    # signed distances of segment endpoints to each quad plane (KV, 4)
+    s_a = jnp.sum((a[:, None, :] - qa[None]) * nrm[None], axis=-1)
+    s_b = jnp.sum((b[:, None, :] - qa[None]) * nrm[None], axis=-1)
+    TOL = 1e-3    # grid units; > f32 FMA noise at ~1e3-scale coordinates
+    ds = s_b - s_a
+    safe = jnp.where(jnp.abs(ds) > 1e-9, ds, 1e-9)
+    t_cross = -s_a / safe
+    # per-plane [lo, hi] of the segment-parameter interval inside the plane
+    lo_p = jnp.where(ds > 1e-9, t_cross, -jg.BIG)
+    hi_p = jnp.where(ds < -1e-9, t_cross, jg.BIG)
+    parallel_out = (jnp.abs(ds) <= 1e-9) & (s_a < -TOL)
+    lo_p = jnp.where(parallel_out, jg.BIG, lo_p)
+    t0 = jnp.maximum(jnp.max(lo_p, axis=1), 0.0)
+    t1 = jnp.minimum(jnp.min(hi_p, axis=1), 1.0)
+    nonempty = t0 <= t1 + 1e-9
+    start_outside = jnp.min(s_a, axis=1) < -TOL
+    entries = jnp.sum(jnp.where(m, nonempty & start_outside, False))
+    all_inside = jnp.all(jnp.where(m, jnp.min(s_a, axis=1) >= -TOL, True))
+    return jnp.where(entries >= 1, entries, jnp.where(all_inside, 0, 1))
 
 
 def part_edge_cut(ring, nv, a, b, max_buffer_m, thres_dis_m, lp: LuParams):

@@ -23,7 +23,22 @@ DEFAULT_DIR = os.path.expanduser('~/.cache/urban_tpu/jax')
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Turn on JAX's persistent compilation cache. Safe to call more than
-    once; returns the cache dir, or None when disabled by env."""
+    once; returns the cache dir, or None when disabled by env.
+
+    Also re-applies the JAX_PLATFORMS env var through jax.config: TPU
+    plugins that register at interpreter startup (this box's axon
+    sitecustomize) pin the platform via jax.config, which silently
+    overrides the env var — so ``JAX_PLATFORMS=cpu python -m
+    urban_tpu...`` would still dial the TPU. Every CLI main calls this
+    before touching a backend, restoring the documented env-var
+    behavior."""
+    platforms = os.environ.get('JAX_PLATFORMS')
+    if platforms:
+        import jax
+        try:
+            jax.config.update('jax_platforms', platforms)
+        except Exception:
+            pass    # backend already initialized; keep whatever it picked
     if os.environ.get('URBAN_TPU_NO_COMPILE_CACHE'):
         return None
     cache_dir = (cache_dir
