@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_STEPS_PER_SEC = 100.0  # 20 workers x ~5 steps/s (BASELINE.md)
 
 
+class _SkipTrain(Exception):
+    """BENCH_SKIP_TRAIN=1 skips the training-throughput section (bisection)."""
+
+
 def main() -> None:
     from urban_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
@@ -80,15 +84,20 @@ def main() -> None:
     # (sample + GAE + 4-epoch minibatch update), measured warm
     train_sps = None
     try:
+        if os.environ.get('BENCH_SKIP_TRAIN'):
+            raise _SkipTrain
         from urban_tpu.rl.train_tpu import TPUTrainer
         tcfg = Config('hlg', 0, tmp=True)
-        trainer = TPUTrainer(tcfg, num_envs=B, eval_envs=0, tensorboard=False)
+        trainer = TPUTrainer(tcfg, num_envs=B, eval_envs=0,
+                             use_tensorboard=False)
         trainer.train_iteration(0, do_eval=False)      # compile + warmup
         t0 = time.time()
         stats = trainer.train_iteration(1, do_eval=False)
         dt = time.time() - t0
         n_steps = B * trainer.rollout_len
         train_sps = round(n_steps / dt, 1)
+    except _SkipTrain:
+        train_sps = 'skipped'
     except Exception as e:  # keep the headline metric robust
         train_sps = f'unavailable: {type(e).__name__}'
 

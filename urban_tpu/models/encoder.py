@@ -45,58 +45,17 @@ class MLP(nn.Module):
         return x
 
 
-LO = 32  # low-digit radix of the factorized node one-hot
-
-
 def endpoint_one_hots(edges, num_nodes):
-    """Factorized endpoint one-hots: node index n = hi*LO + lo, so the
-    (E, N) incidence one-hot is the outer product of an (E, NH) and an
-    (E, LO) one-hot (NH = ceil(N/LO)).
+    """(..., E, N) bf16 one-hots of each edge's two endpoints.
 
     TPU row gathers serialize (~2 ms per 128x2304x16 take_along_axis in the
-    rollout, profiled), so endpoint reads run as one-hot contractions on the
-    MXU. The *dense* (E, N) one-hot, however, is itself the bottleneck at
-    training shapes (minibatch x 3000 x 1344 bf16 = GBs of generated operand
-    per use, with a 16-wide minor dim wasting 7/8 of every MXU pass). The
-    factorization cuts the generated one-hot material by ~N/LO x and turns
-    every incidence contraction into a (NH)-contraction with a LO*D-wide
-    minor dim. Built once per forward and shared by gather_to_edges /
-    scatter_to_nodes.
-
-    Returns ((oh0_hi, oh0_lo), (oh1_hi, oh1_lo), not_self)."""
-    nh = -(-num_nodes // LO)
-    hi_ids = jnp.arange(nh)
-    lo_ids = jnp.arange(LO)
-    parts = []
-    for k in (0, 1):
-        e = edges[..., k:k + 1]
-        parts.append(((e // LO == hi_ids).astype(jnp.bfloat16),
-                      (e % LO == lo_ids).astype(jnp.bfloat16)))
-    not_self = edges[..., 0] != edges[..., 1]
-    return parts[0], parts[1], not_self
-
-
-def _fold_nodes_hi(h_nodes, nh):
-    """(..., N, D) -> (..., NH, LO*D), zero-padded to NH*LO rows."""
-    pad = nh * LO - h_nodes.shape[-2]
-    if pad:
-        h_nodes = jnp.pad(h_nodes,
-                          [(0, 0)] * (h_nodes.ndim - 2) + [(0, pad), (0, 0)])
-    return h_nodes.reshape(h_nodes.shape[:-2]
-                           + (nh, LO * h_nodes.shape[-1]))
-
-
-def _gather_factored(oh, h_nodes):
-    """Select h_nodes rows by the factorized one-hot: an MXU contraction
-    over the hi digit, then a VPU select-sum over the lo digit. Exact — each
-    output row is a single (bf16-rounded) node row."""
-    ohh, ohl = oh
-    d = h_nodes.shape[-1]
-    h2 = _fold_nodes_hi(h_nodes.astype(jnp.bfloat16), ohh.shape[-1])
-    tmp = jnp.einsum('...eh,...hz->...ez', ohh, h2,
-                     preferred_element_type=jnp.float32)
-    tmp = tmp.reshape(tmp.shape[:-1] + (LO, d))
-    return (ohl[..., None].astype(tmp.dtype) * tmp).sum(axis=-2)
+    rollout, profiled); endpoint reads as one-hot matmuls ride the MXU and
+    XLA fuses the comparison into the operand. Built once per forward and
+    shared by gather_to_edges / scatter_to_nodes."""
+    n_ids = jnp.arange(num_nodes)
+    oh0 = (edges[..., 0:1] == n_ids).astype(jnp.bfloat16)
+    oh1 = (edges[..., 1:2] == n_ids).astype(jnp.bfloat16)
+    return oh0, oh1
 
 
 def gather_to_edges(h_nodes, edges, edge_mask, edge_fc, one_hots=None):
@@ -105,9 +64,12 @@ def gather_to_edges(h_nodes, edges, edge_mask, edge_fc, one_hots=None):
     if SCATTER_MODE == 'matmul':
         if one_hots is None:
             one_hots = endpoint_one_hots(edges, h_nodes.shape[-2])
-        oh0, oh1, _ = one_hots
-        h1 = _gather_factored(oh0, h_nodes)
-        h2 = _gather_factored(oh1, h_nodes)
+        oh0, oh1 = one_hots
+        h16 = h_nodes.astype(jnp.bfloat16)
+        h1 = jnp.einsum('...en,...nd->...ed', oh0, h16,
+                        preferred_element_type=jnp.float32)
+        h2 = jnp.einsum('...en,...nd->...ed', oh1, h16,
+                        preferred_element_type=jnp.float32)
     else:
         h1 = jnp.take_along_axis(h_nodes, edges[..., 0:1], axis=-2)
         h2 = jnp.take_along_axis(h_nodes, edges[..., 1:2], axis=-2)
@@ -163,39 +125,30 @@ def scatter_to_nodes(h_edges, edges, edge_mask, num_nodes, one_hots=None):
     return sums / (counts + EPSILON)
 
 
-def _scatter_factored(oh, x, num_nodes):
-    """Transpose direction of _gather_factored: out[n] += x[e] for every
-    edge e whose endpoint (under this one-hot) is n. VPU expand over the lo
-    digit, then one MXU contraction over E with a LO*D minor dim."""
-    ohh, ohl = oh
-    d = x.shape[-1]
-    y = ohl[..., None] * x[..., None, :]          # (..., E, LO, D)
-    y = y.reshape(y.shape[:-2] + (LO * d,))
-    out = jnp.einsum('...eh,...ez->...hz', ohh, y,
-                     preferred_element_type=jnp.float32)
-    out = out.reshape(out.shape[:-2] + (ohh.shape[-1] * LO, d))
-    return out[..., :num_nodes, :]
-
-
 def _scatter_to_nodes_matmul(h_edges, edges, edge_mask, num_nodes,
                              one_hots=None):
-    """Aggregation as an incidence contraction: M[e, n] = 1 where n is an
-    endpoint of edge e; sums = Mᵀ h_edges, counts = Mᵀ mask — computed in
-    factorized hi/lo one-hot form (see endpoint_one_hots). Activations are
-    O(1) tanh outputs, so bf16 matmul precision is ample."""
+    """Aggregation as an incidence matmul: M[e, n] = 1 where n is an endpoint
+    of edge e; sums = Mᵀ h_edges, counts = Mᵀ mask. Activations are O(1)
+    tanh outputs, so bf16 matmul precision is ample.
+
+    Self-loop convention: a self-loop edge (and masked sentinel padding,
+    which points both endpoints at the pad node) contributes ONCE here
+    (max(oh0, oh1) has a single 1), whereas the reference's scatter_add
+    (reference state_encoder.py:146-148) — and this module's 'scatter'
+    backend — would count it twice. Intentional divergence: domain graphs
+    are bipartite (block x intersection), so no real self-loops exist
+    (sentinel rows are zeroed by the edge mask either way)."""
     if one_hots is None:
         one_hots = endpoint_one_hots(edges, num_nodes)
-    oh0, oh1, not_self = one_hots
+    oh0, oh1 = one_hots
     em = edge_mask[..., None].astype(jnp.bfloat16)
-    # degree counts ride the same contraction as an appended ones column (a
-    # separate masked reduce over the incidence one-hot costs ~1.3 ms/step)
+    m16 = jnp.maximum(oh0, oh1) * em       # self-loop edges count once
+    # degree counts ride the same matmul as an appended ones column (a
+    # separate masked reduce over the (E, N) one-hot costs ~1.3 ms/step)
     ones = jnp.ones(h_edges.shape[:-1] + (1,), jnp.bfloat16)
-    x = jnp.concatenate([h_edges.astype(jnp.bfloat16), ones], axis=-1) * em
-    # self-loop edges (incl. masked sentinel padding) count once: endpoint 0
-    # always contributes, endpoint 1 only when distinct
-    out = (_scatter_factored(oh0, x, num_nodes)
-           + _scatter_factored(oh1, x * not_self[..., None].astype(x.dtype),
-                               num_nodes))
+    he = jnp.concatenate([h_edges.astype(jnp.bfloat16), ones], axis=-1)
+    out = jnp.einsum('...en,...ed->...nd', m16, he,
+                     preferred_element_type=jnp.float32)
     sums, counts = out[..., :-1], out[..., -1:]
     return sums / (counts + EPSILON)
 
