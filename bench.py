@@ -101,6 +101,9 @@ def main() -> None:
     except Exception as e:  # keep the headline metric robust
         train_sps = f'unavailable: {type(e).__name__}'
 
+    platform = jax.devices()[0].platform
+    north_star = 10_000.0  # BASELINE.json: >=10k env steps/sec/chip
+    gate_ok = (platform == 'cpu') or (best >= north_star)
     print(json.dumps({
         'metric': 'batched HLG rollout throughput (SGNN policy, jitted env)',
         'value': round(best, 1),
@@ -109,8 +112,15 @@ def main() -> None:
         'detail': {'num_envs': B, 'rollout_len': T, 'episodes': eps,
                    'failures': fails,
                    'mean_episode_reward': round(mean_r, 3),
-                   'train_steps_per_sec': train_sps},
+                   'train_steps_per_sec': train_sps,
+                   'north_star_10k_pass': gate_ok},
     }))
+    if not gate_ok:
+        # hard perf gate: a change that regresses the headline below the
+        # BASELINE.json north star must not ship silently (round-3 lesson)
+        print(f'PERF GATE FAILED: {best:.0f} < {north_star:.0f} '
+              f'env steps/sec/chip on {platform}', file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == '__main__':

@@ -173,3 +173,36 @@ def test_tpu_trainer_two_iterations_on_mesh(setup):
     per_dev = [np.asarray(s.data) for s in leaf.addressable_shards]
     for arr in per_dev[1:]:
         np.testing.assert_array_equal(per_dev[0], arr)
+
+
+def test_run_training_cli_driver_on_mesh(setup, tmp_path):
+    """End-to-end CLI-driver path on the 8-device mesh: run_training with
+    num_devices=8 (the --num_devices flag's target) trains two iterations
+    data-parallel, writes a checkpoint, and greedy-eval runs. This is the
+    one-command multi-chip training path — the TPU-native replacement for
+    the reference's 20-worker sampler fan-out (reference
+    khrylib/rl/agents/agent.py:75-100)."""
+    import glob
+    import os
+    from urban_tpu.rl.train_tpu import run_training
+    cfg = Config('hlg', 0, tmp=True)
+    cfg.save_model_interval = 2
+    trainer = run_training(cfg, iterations=2, num_envs=N_DEV * 2,
+                           separate_train=False, eval_envs=N_DEV,
+                           use_tensorboard=False, rollout_len=3,
+                           num_devices=N_DEV)
+    assert trainer.mesh is not None and trainer.mesh.devices.size == N_DEV
+    leaf = jax.tree.leaves(trainer.params)[0]
+    assert len(leaf.sharding.device_set) == N_DEV
+    ckpts = glob.glob(os.path.join(cfg.model_dir, '*.p'))
+    assert ckpts, f'no checkpoint written under {cfg.model_dir}'
+
+
+def test_run_training_rejects_uneven_envs(setup):
+    from urban_tpu.rl.train_tpu import run_training
+    cfg = Config('hlg', 0, tmp=True)
+    with pytest.raises(ValueError, match='divisible'):
+        run_training(cfg, iterations=1, num_envs=N_DEV + 1,
+                     separate_train=False, eval_envs=0,
+                     use_tensorboard=False, rollout_len=3,
+                     num_devices=N_DEV)

@@ -93,6 +93,11 @@ class TPUTrainer:
             cfg, 'original_max_sequence_length', cfg.max_sequence_length)
         self.eval_envs = eval_envs
         self.mesh = mesh
+        if mesh is not None and self.num_envs % mesh.devices.size:
+            raise ValueError(
+                f'num_envs={self.num_envs} must be divisible by the '
+                f'{mesh.devices.size}-device dp mesh (environments shard '
+                f'evenly across devices)')
         self.logger = create_logger(os.path.join(cfg.log_dir,
                                                  'log_train_tpu.txt'))
         self.tb = None
@@ -415,13 +420,25 @@ def freeze_land_use_trainer(trainer: TPUTrainer, table,
 def run_training(cfg: Config, iterations: int, num_envs: Optional[int],
                  separate_train: bool, eval_envs: int = 16,
                  use_tensorboard: bool = True, rollout_len: int = None,
-                 resume: str = None, warm_start_phase2: bool = True):
+                 resume: str = None, warm_start_phase2: bool = True,
+                 num_devices: int = 0):
     """Training driver: single-phase, or the reference's two-phase
-    land-use -> freeze -> road curriculum (reference train.py:64-72)."""
+    land-use -> freeze -> road curriculum (reference train.py:64-72).
+
+    num_devices: 0/1 = single device; N>1 = data-parallel shard_map mesh
+    over the first N visible devices; -1 = all visible devices. The
+    TPU-native replacement for the reference's 20-worker sampler fan-out
+    (reference khrylib/rl/agents/agent.py:75-100) — one flag, not a
+    separate launcher."""
     if separate_train:
         cfg.train()
+    mesh = None
+    if num_devices == -1:
+        num_devices = len(jax.devices())
+    if num_devices > 1:
+        mesh = make_mesh(num_devices)
     trainer = TPUTrainer(cfg, num_envs=num_envs, rollout_len=rollout_len,
-                         eval_envs=eval_envs,
+                         eval_envs=eval_envs, mesh=mesh,
                          use_tensorboard=use_tensorboard,
                          keep_boundaries=separate_train)
     resume_phase = 1
@@ -483,6 +500,10 @@ def main():
     flags.DEFINE_string('cfg', None, 'Config id.')
     flags.DEFINE_integer('global_seed', 0, 'Seed.')
     flags.DEFINE_integer('num_envs', 0, 'Vectorized envs (0 = cfg default).')
+    flags.DEFINE_integer('num_devices', 0,
+                         'Data-parallel device-mesh size: 0/1 = single '
+                         'device, N>1 = shard envs + psum gradients over '
+                         'the first N devices, -1 = all visible devices.')
     flags.DEFINE_integer('iterations', 10, 'Training iterations per phase.')
     flags.DEFINE_integer('eval_envs', 16, 'Greedy eval episodes/iteration.')
     flags.DEFINE_integer('rollout_len', 0,
@@ -520,7 +541,8 @@ def main():
         run_training(cfg, FLAGS.iterations, FLAGS.num_envs or None,
                      FLAGS.separate_train, FLAGS.eval_envs,
                      FLAGS.tensorboard, FLAGS.rollout_len or None,
-                     FLAGS.resume or None, FLAGS.warm_start_phase2)
+                     FLAGS.resume or None, FLAGS.warm_start_phase2,
+                     num_devices=FLAGS.num_devices)
 
     flags.mark_flags_as_required(['cfg'])
     app.run(run)
