@@ -167,6 +167,50 @@ def ring_bounds(ring: jnp.ndarray, nvert: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi])
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s + err == a + b exactly (no branch, FMA-proof)."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _split_f32(a):
+    """Veltkamp split for f32 (24-bit mantissa): a == hi + lo with hi
+    carrying the top 12 bits. 4097 = 2**12 + 1."""
+    c = a * jnp.float32(4097.0)
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """Dekker TwoProduct: p + err == a * b exactly in f32 (no FMA needed;
+    XLA does not reassociate or contract these by default)."""
+    p = a * b
+    ah, al = _split_f32(a)
+    bh, bl = _split_f32(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def cross2_compensated(ux, uy, vx, vy):
+    """ux*vy - uy*vx as a compensated f32 value (error ~2^-24 relative to
+    the true result instead of to the PRODUCTS — the difference matters
+    precisely in the near-parallel cancellation case).
+
+    This is the jit tier's answer to the host engine's f64 crossing math
+    (urban_tpu/geometry/ops.py halfplane_clip; reference behavior:
+    khrylib/utils/shapely.py slicing on shapely's f64 coordinates): the
+    residual host-vs-jit divergence class measured in DIVERGENCE.md was
+    ill-conditioned cut-side x block-edge intersections drifting ~1e-2
+    grid units; with the compensated cross the dominant error is the one
+    f32 rounding of the inputs (~1e-4), and the downstream t division is
+    benign (numerator and denominator signs oppose at a crossing)."""
+    p1, e1 = _two_prod(ux, vy)
+    p2, e2 = _two_prod(uy, vx)
+    s, e3 = _two_sum(p1, -p2)
+    return s + (e1 - e2 + e3)
+
+
 def point_segment_distance(p: jnp.ndarray, a: jnp.ndarray,
                            b: jnp.ndarray) -> jnp.ndarray:
     """Broadcasted point-to-segment distance on (..., 2) arrays."""
@@ -231,12 +275,15 @@ def halfplane_clip_ring(ring: jnp.ndarray, nvert: jnp.ndarray,
     """
     kv = ring.shape[0]
     d = b - a
-    nrm = jnp.stack([-d[1], d[0]])
-    nrm = jnp.where(keep_left, nrm, -nrm)
     m = ring_mask(nvert, kv)
-    # coordinate dots stay in full f32: TPU dot_generals default to bf16
-    # passes, which rounds ~1e3-magnitude coordinates to steps of ~8
-    side = jnp.sum((ring - a) * nrm[None, :], axis=-1)
+    # side = cross(d, r - a), computed COMPENSATED: the near-parallel
+    # cancellation in this cross product was the dominant host-vs-jit
+    # divergence source (DIVERGENCE.md); plain f32 leaves ~1e-3 absolute
+    # noise that the t division below amplifies into ~1e-2 coordinate
+    # drift. Elementwise VPU math — never a bf16 dot_general.
+    u = ring - a
+    side = cross2_compensated(d[0], d[1], u[:, 0], u[:, 1])
+    side = jnp.where(keep_left, side, -side)
     side_nxt = ring_next(side, nvert)
     ring_nxt = ring_next(ring, nvert)
 
@@ -468,14 +515,15 @@ def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
     hb = ring_next(hull, nh)
     hd = hb - ha
     hlen = jnp.maximum(jnp.linalg.norm(hd, axis=-1), 1e-12)
-    hn = jnp.stack([-hd[:, 1], hd[:, 0]], axis=-1) / hlen[:, None]
-    # signed distance of each ring vertex to each hull plane (+ = inside).
-    # Subtract the plane anchor BEFORE the dot: dot(v,n)-dot(a,n) cancels
-    # two ~1e3-magnitude f32 dots and leaves ~2e-4 noise — enough to push a
-    # ring vertex that IS a hull vertex to the wrong side. dot(v-a, n) is
-    # translation-invariant and keeps the error at the ~1e-5 product level.
-    f = jnp.sum((ring[:, None, :] - ha[None, :, :]) * hn[None, :, :],
-                axis=-1)
+    # signed distance of each ring vertex to each hull plane (+ = inside):
+    # f = cross(hd, v - ha) / |hd|. Subtract the plane anchor BEFORE any
+    # product (translation invariance), and form the cross COMPENSATED —
+    # plain f32 cancellation here both flips borderline in/out decisions
+    # AND drifts the Liang-Barsky t ratios below (the residual divergence
+    # class of DIVERGENCE.md).
+    u = ring[:, None, :] - ha[None, :, :]
+    f = cross2_compensated(hd[None, :, 0], hd[None, :, 1],
+                           u[..., 0], u[..., 1]) / hlen[None, :]
     f = jnp.where(mh[None, :], f, BIG)
     fn = ring_next(f, nvert)
     v_in = jnp.all(f >= -eps, axis=1)
