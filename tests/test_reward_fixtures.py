@@ -34,12 +34,14 @@ def _line(*coords):
     return Geometry(LINE, np.array(coords, dtype=np.float64))
 
 
-def _make(cfg, geoms, types):
+def _make(cfg, geoms, types, concepts=None):
     table = GeoTable(list(range(len(geoms))), types, [True] * len(geoms),
                      geoms)
     table.compute_domain_features()
     plc = PlanClient(cfg.objectives_plan, cfg.init_plan)
     plc._init_table = table
+    if concepts is not None:
+        plc._concept = concepts
     plc.unplan_all_land_use()
     spec = build_env_spec(cfg, plc, max_steps=4)
     state = build_initial_state(spec, plc)
@@ -183,3 +185,83 @@ def test_large_block_serpentine(cfg):
     r_host = plc.get_road_network_reward()[0]
     r_jit = float(js.road_network_reward(spec, state))
     assert r_jit == pytest.approx(r_host, abs=1e-2)
+
+
+def test_concept_center_fixture(cfg):
+    """Center concept (reference plan_client.py:995-1020), hand-derived:
+    center (100,100), radius 300 m = 30 cells, related = {GREEN_L}.
+      green    (70,95)-(80,105):   nearest ring point (80,100), d=20  -> in
+      business (120,95)-(130,105): nearest ring point (120,100), d=20 -> in
+      residential (200,95)-(210,105): d=100                           -> out
+    ratio = related/in_circle = 1/2 -> reward 0.5 (single concept)."""
+    from urban_tpu.geometry.base import Geometry, POINT
+    geoms = [
+        _square(70, 95, 10, 10),
+        _square(120, 95, 10, 10),
+        _square(200, 95, 10, 10),
+    ]
+    types = [cc.GREEN_L, cc.BUSINESS, cc.RESIDENTIAL]
+    concepts = [dict(type='center',
+                     geometry=Geometry(POINT, [[100.0, 100.0]]),
+                     distance=300.0, land_use=[cc.GREEN_L])]
+    plc, spec, state = _make(cfg, geoms, types, concepts=concepts)
+    host, info = plc.get_concept_reward()
+    assert host == pytest.approx(0.5, abs=1e-9)
+    assert info['0_center']['related_land_use_ratio'] == pytest.approx(0.5)
+    jit = float(js.concept_reward(spec, state))
+    assert jit == pytest.approx(0.5, abs=1e-6)
+
+
+def test_concept_axis_fixture(cfg):
+    """Axis concept (reference plan_client.py:1022-1062), hand-derived:
+    axis (50,50)-(150,50), band 100 m = 10 cells, related =
+    {GREEN_L, BUSINESS}.
+      green1   (55,52)-(65,62):  min ring distance 2 -> in band, centroid
+                                 (60,57),  t = (60-50)/100 = 0.1
+      green2   (135,52)-(145,62): d=2 -> in band, centroid (140,57), t=0.9
+      business (95,40)-(105,48):  d=2 -> in band, centroid (100,44), t=0.5
+      residential (95,70)-(105,80): d=20, axis midpoint not inside -> out
+    ratio = 3/3 = 1; type diversity = 2 related types present / 2 = 1;
+    projection extent = 0.9 - 0.1 = 0.8
+    reward = (1 + 1 + 0.8) / 3 = 14/15."""
+    geoms = [
+        _square(55, 52, 10, 10),
+        _square(135, 52, 10, 10),
+        _square(95, 40, 10, 8),
+        _square(95, 70, 10, 10),
+    ]
+    types = [cc.GREEN_L, cc.GREEN_L, cc.BUSINESS, cc.RESIDENTIAL]
+    concepts = [dict(type='axis',
+                     geometry=_line((50.0, 50.0), (150.0, 50.0)),
+                     distance=100.0,
+                     land_use=[cc.GREEN_L, cc.BUSINESS])]
+    plc, spec, state = _make(cfg, geoms, types, concepts=concepts)
+    host, info = plc.get_concept_reward()
+    assert host == pytest.approx(14.0 / 15.0, abs=1e-9)
+    ai = info['0_axis']
+    assert ai['related_land_use_ratio'] == pytest.approx(1.0)
+    assert ai['related_land_use_type'] == pytest.approx(1.0)
+    assert ai['related_land_use_expand'] == pytest.approx(0.8, abs=1e-9)
+    jit = float(js.concept_reward(spec, state))
+    assert jit == pytest.approx(14.0 / 15.0, abs=1e-5)
+
+
+def test_greenness_partial_shadow_fixture(cfg):
+    """Exact PARTIAL greenness coverage (reference plan_client.py:954-967)
+    with no corner-arc ambiguity: the residential strip sits entirely in
+    the perpendicular 'shadow' of the green square's top edge, so the
+    300 m buffer boundary through it is the straight line y = 110 + 30.
+      green (100,100)-(110,110): 100 m x 100 m = 10,000 m² >= 2,000 m²
+      residential strip (102,110)-(108,168): within x-range of the green,
+      so a point (x, y) is within 300 m of the green iff y <= 140.
+    Host (area raster): covered fraction = (140-110)/(168-110) = 0.51724.
+    Jit (documented sample-point approximation — ring vertices +
+    centroid): bottom vertices d=0 covered, top vertices d=58 not,
+    centroid (105,139) d=29 <= 30 covered -> 3/5 = 0.6. Both values are
+    pinned so a silent change to either contract fails here."""
+    geoms = [_square(102, 110, 6, 58), _square(100, 100, 10, 10)]
+    plc, spec, state = _make(cfg, geoms, [cc.RESIDENTIAL, cc.GREEN_L])
+    host = plc.get_greenness_reward()
+    assert host == pytest.approx(30.0 / 58.0, abs=0.02)  # raster resolution
+    jit = float(js.greenness_reward(spec, state))
+    assert jit == pytest.approx(3.0 / 5.0, abs=1e-6)
