@@ -124,3 +124,62 @@ def test_divergence_metrics():
     assert summary['full_lockstep_completion_rate'] >= 0.6
     if summary['terminal_reward_delta_max'] is not None:
         assert summary['terminal_reward_delta_max'] <= 0.3
+
+
+def test_huizhou_rule_decentralized_failure_lockstep():
+    """The huizhou rule-decentralized baseline terminates with a geometry
+    FAILURE (BASELINE.md). The reference itself cannot run here, so pin the
+    next-best evidence: BOTH tiers reject the same action at the same step
+    (deterministic seed-111 episode, the exact run BASELINE.md reports).
+    This is the divergence-corpus entry for that failure — the jit env is
+    driven action-for-action by the host's policy decisions and must flag
+    in-graph failure exactly when the host raises its SliceError
+    (reference failure path: city.py:450-457)."""
+    from urban_tpu.models.baseline import RuleDecentralizedPolicy
+    from urban_tpu.rl.sampler import stack_obs
+
+    cfg = Config('huizhou', 111, tmp=True)
+    env = CityEnv(cfg)
+    obs = env.reset()
+    env.eval()
+    plc = env._plc
+
+    plc2 = PlanClient(cfg.objectives_plan, cfg.init_plan)
+    spec = build_env_spec(cfg, plc2, max_steps=cfg.max_sequence_length)
+    state = build_initial_state(spec, plc2)
+    step_fn = jax.jit(lambda s, a: js.env_step(spec, s, a))
+
+    policy = RuleDecentralizedPolicy()
+    rng = np.random.default_rng(111)
+    host_failed = jit_failed = False
+    matched = 0
+    for step in range(60):
+        single = [np.asarray(o) for o in obs]
+        prng = np.random.default_rng(int(rng.integers(2 ** 31)))
+        action = np.asarray(
+            policy.select_action(single, prng, True)).reshape(2)
+        centroid, inter_xy = _host_action_identity(plc, int(action[0]))
+        t = js.pending_land_use_type(spec, state)
+        jax_action, _ = _jax_matching_edge(spec, state, centroid, inter_xy, t)
+        assert jax_action is not None, \
+            f'host action not representable in jit mask at step {step}'
+        obs, r_host, done_host, _ = env.step(action.astype(float), logger)
+        state, r_jax, done_jax, info_jax = step_fn(
+            state, jnp.asarray([jax_action, 0], dtype=jnp.int32))
+        host_failed = bool(done_host) and \
+            float(r_host) == float(env.FAILURE_REWARD)
+        jit_failed = bool(info_jax['failure'])
+        if host_failed or jit_failed:
+            break
+        counts_h = plc.get_plan_ratio_and_count()[1]
+        assert np.array_equal(counts_h, np.asarray(state.plan_count)), \
+            f'plan counts diverged at step {step}'
+        matched += 1
+        if done_host or bool(done_jax):
+            break
+
+    # the documented failure episode: both engines reject the same action
+    assert host_failed, 'expected the seed-111 huizhou episode to fail'
+    assert jit_failed, ('host failed but the jit env accepted the action — '
+                        'failure not lockstep-confirmed')
+    assert matched >= 3
