@@ -67,9 +67,10 @@ def main() -> None:
     best = 0.0
     eps = fails = 0
     mean_r = 0.0
+    fail_causes = {}
     for trial in range(3):
         t0 = time.time()
-        state, n_eps, n_fail, r_sum = rollout_bench(
+        state, n_eps, n_fail, r_sum, code_hist = rollout_bench(
             spec, model, params, init_state, start,
             jax.random.PRNGKey(2 + trial), T)
         n_eps = int(np.asarray(n_eps))
@@ -79,6 +80,20 @@ def main() -> None:
         best = max(best, B * T / dt)
         eps, fails = n_eps, n_fail
         mean_r = r_sum / max(n_eps - n_fail, 1)
+        from urban_tpu.jaxenv.step import FAILURE_BIT_NAMES
+        hist = np.asarray(code_hist)
+        fail_causes = {name: int(hist[i])
+                       for i, name in enumerate(FAILURE_BIT_NAMES.values())
+                       if hist[i]}
+
+    # Release the rollout benchmark's device buffers (B-wide scan carry,
+    # model params, cached executables) before the trainer allocates its
+    # own env batch + optimizer state: with both resident the trainer's
+    # first update can RESOURCE_EXHAUST the chip's HBM (observed as a
+    # JaxRuntimeError here while the identical trainer run succeeds in a
+    # fresh process).
+    del state, out, start, init_state, params, obs0
+    jax.clear_caches()
 
     # honest end-to-end TRAINING throughput: one full PPO train_iteration
     # (sample + GAE + 4-epoch minibatch update), measured warm
@@ -110,7 +125,7 @@ def main() -> None:
         'unit': 'env_steps/sec/chip',
         'vs_baseline': round(best / REFERENCE_STEPS_PER_SEC, 2),
         'detail': {'num_envs': B, 'rollout_len': T, 'episodes': eps,
-                   'failures': fails,
+                   'failures': fails, 'failure_causes': fail_causes,
                    'mean_episode_reward': round(mean_r, 3),
                    'train_steps_per_sec': train_sps,
                    'north_star_10k_pass': gate_ok},

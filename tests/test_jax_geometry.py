@@ -91,3 +91,28 @@ def test_dedupe_ring():
     out, nv = jg.dedupe_ring(r, n)
     assert int(nv) == 4
     assert float(jg.ring_area(out, nv)) == pytest.approx(100.0)
+
+
+def test_dedupe_ring_wraparound_closure():
+    # A raw f32 arc walk can re-emit the start crossing as the final
+    # vertex with ~ulp noise; the host oracle (geometry/ops.py dedupe_ring)
+    # drops that closing duplicate, and the jit tier must too — otherwise
+    # the vertex COUNT differs and DP simplification anchors diverge.
+    eps = 1e-8
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [eps, eps]],
+                    dtype=float)
+    r, n = pad_ring(ring)
+    out, nv = jg.dedupe_ring(r, n)
+    assert int(nv) == 4
+    assert float(jg.ring_area(out, nv)) == pytest.approx(100.0)
+    # a RUN of trailing wrap-duplicates collapses too
+    ring2 = np.array([[0, 0], [10, 0], [10, 10], [0, 10],
+                      [eps, 0.0], [0.0, eps]], dtype=float)
+    r2, n2 = pad_ring(ring2)
+    out2, nv2 = jg.dedupe_ring(r2, n2)
+    assert int(nv2) == 4
+    # vertices genuinely near-but-distinct from vertex 0 mid-ring survive
+    ring3 = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    r3, n3 = pad_ring(ring3)
+    out3, nv3 = jg.dedupe_ring(r3, n3)
+    assert int(nv3) == 4

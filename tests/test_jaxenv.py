@@ -96,6 +96,54 @@ def test_full_episode_jax_env(hlg_setup):
     assert all(counts[t] >= req[t] for t in order)
 
 
+def test_failure_code_names_decode():
+    # the taxonomy decode is pure python: composite masks decode to the
+    # union of their cause names, 0 decodes to nothing
+    assert js.failure_code_names(0) == []
+    assert js.failure_code_names(js.FAIL_SLICE) == ['slice']
+    names = js.failure_code_names(js.FAIL_SLICE | js.FAIL_NO_MOVES)
+    assert set(names) == {'slice', 'no_moves'}
+    # every bit has a unique name
+    assert len(set(js.FAILURE_BIT_NAMES.values())) == \
+        len(js.FAILURE_BIT_NAMES)
+
+
+def test_failure_code_matches_failure_flag(hlg_setup):
+    # rng seed 0 random play fails (host-confirmed, see
+    # test_full_episode_jax_env); the info dict must carry a nonzero
+    # failure_code whose bool reduction equals info['failure'], with
+    # every set bit a known cause.
+    cfg, plc, spec, state0 = hlg_setup
+    obs_fn = jax.jit(lambda s: js.build_obs(spec, s))
+    step_fn = jax.jit(lambda s, a: js.env_step(spec, s, a))
+    state = state0
+    rng = np.random.default_rng(0)
+    saw_failure = False
+    for i in range(60):
+        obs = obs_fn(state)
+        stage = int(np.asarray(obs[8]).argmax())
+        mask = np.asarray(obs[6] if stage == 0 else obs[7])
+        valid = np.nonzero(mask)[0]
+        a = int(rng.choice(valid))
+        action = jnp.asarray([a if stage == 0 else 0,
+                              a if stage == 1 else 0], dtype=jnp.int32)
+        state, reward, done, info = step_fn(state, action)
+        code = int(info['failure_code'])
+        assert (code != 0) == bool(info['failure'])
+        if code:
+            saw_failure = True
+            names = js.failure_code_names(code)
+            assert names, f'unknown failure bits in {code:#x}'
+            known = 0
+            for bit in js.FAILURE_BIT_NAMES:
+                known |= bit
+            assert code & ~known == 0
+        if bool(done):
+            break
+    assert saw_failure and bool(done)
+    assert float(reward) == js.FAILURE_REWARD
+
+
 def test_episode_success_weights():
     dones = jnp.asarray([[0, 0], [1, 0], [0, 0], [1, 1]], dtype=bool)
     fails = jnp.asarray([[0, 0], [0, 0], [0, 0], [1, 0]], dtype=bool)

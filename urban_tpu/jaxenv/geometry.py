@@ -314,11 +314,21 @@ def halfplane_clip_ring(ring: jnp.ndarray, nvert: jnp.ndarray,
 
 
 def dedupe_ring(ring: jnp.ndarray, nvert: jnp.ndarray, tol: float = 1e-7):
-    """Drop consecutive near-duplicate vertices (masked compaction)."""
+    """Drop consecutive near-duplicate vertices (masked compaction),
+    including the wraparound closure: trailing vertices within tol of
+    vertex 0 are dropped, mirroring the host oracle's dedupe_ring
+    (geometry/ops.py:218-229) — a raw f32 arc walk can re-emit its start
+    crossing as the final vertex with ~ulp noise, which the host's
+    GEOS-backed rings never carry."""
     kv = ring.shape[0]
     m = ring_mask(nvert, kv)
+    pos = jnp.arange(kv)
     dup = jnp.linalg.norm(ring - ring_prev(ring, nvert), axis=-1) <= tol
-    keep = m & (~dup | (jnp.arange(kv) == 0))
+    keep = m & (~dup | (pos == 0))
+    # trailing run of wrap-duplicates of vertex 0
+    ok = (jnp.linalg.norm(ring - ring[0], axis=-1) <= tol) | ~m
+    suffix_all = jnp.flip(jnp.cumprod(jnp.flip(ok.astype(jnp.int32))))
+    keep = keep & ~(suffix_all.astype(bool) & (pos > 0))
     counts = keep.astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts
     out = onehot_place(ring, offsets, keep, kv)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from urban_tpu.jaxenv.state import EnvSpec, PlanState
+from urban_tpu.jaxenv import step as step_mod
 from urban_tpu.jaxenv.step import (FAILURE_REWARD, build_obs, env_step)
 
 
@@ -159,8 +160,14 @@ def rollout_bench(spec: EnvSpec, model, params, init_state: PlanState,
     B = start_state.stage.shape[0]
     init_b = broadcast_state(init_state, B)
 
+    # per-cause failure histogram: one counter per FAIL_* taxonomy bit
+    # (env_step info['failure_code']); cheap (N_FAIL_BITS sums per step)
+    # and makes the bench report WHY episodes fail, mirroring the
+    # reference's failing-action logging (reference city.py:450-457)
+    n_bits = len(step_mod.FAILURE_BIT_NAMES)
+
     def scan_body(carry, step_rng):
-        state, n_eps, n_fail, reward_sum = carry
+        state, n_eps, n_fail, reward_sum, code_hist = carry
         state = jax.tree.map(
             lambda i, s: jnp.where(
                 state.done.reshape((-1,) + (1,) * (s.ndim - 1)), i, s),
@@ -174,15 +181,18 @@ def rollout_bench(spec: EnvSpec, model, params, init_state: PlanState,
                                                  info)
         n_eps = n_eps + jnp.sum(done)
         n_fail = n_fail + jnp.sum(info['failure'])
+        code = info['failure_code'][None, :]                    # (1, B)
+        bits = jnp.arange(n_bits, dtype=jnp.int32)[:, None]     # (K, 1)
+        code_hist = code_hist + jnp.sum((code >> bits) & 1, axis=1)
         reward_sum = reward_sum + jnp.sum(jnp.where(done & ~info['failure'],
                                                     reward, 0.0))
-        return (next_state, n_eps, n_fail, reward_sum), None
+        return (next_state, n_eps, n_fail, reward_sum, code_hist), None
 
     rngs = jax.random.split(rng, num_steps)
-    (state, n_eps, n_fail, reward_sum), _ = jax.lax.scan(
+    (state, n_eps, n_fail, reward_sum, code_hist), _ = jax.lax.scan(
         scan_body, (start_state, jnp.asarray(0), jnp.asarray(0),
-                    jnp.asarray(0.0)), rngs)
-    return state, n_eps, n_fail, reward_sum
+                    jnp.asarray(0.0), jnp.zeros(n_bits, jnp.int32)), rngs)
+    return state, n_eps, n_fail, reward_sum, code_hist
 
 
 @partial(jax.jit, static_argnames=('spec', 'model', 'num_steps'))

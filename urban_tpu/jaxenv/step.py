@@ -43,8 +43,56 @@ from urban_tpu.jaxenv.state import EnvSpec, PlanState
 
 EPS = 1e-4
 MERGE_TOL = 1e-6
+DEDUPE_TOL = 1e-3  # raw-crossing dedupe: above f32 ulp at coords <= 4096
 MAX_NEW_PTS = 8
 FAILURE_REWARD = -1.0
+
+# Failure taxonomy: apply_land_use/env_step accumulate an int32 bitmask of
+# named causes instead of a bare bool so in-graph failures stay diagnosable
+# after jit (the host oracle raises typed SliceErrors and the reference logs
+# the failing action history, city.py:450-457/412; the jit tier gets the
+# equivalent via info['failure_code']). `failure` is the bool reduction
+# (bits != 0); bits marked [capacity] indicate slot-table overflow (an
+# artifact of the fixed-size buffers, tunable via spec capacities) rather
+# than a geometric rejection shared with the host engine.
+FAIL_SLICE = 1 << 0           # cutter failed / no interior piece
+FAIL_SNAP_PARCEL = 1 << 1     # parcel degenerate after simplify+snap
+FAIL_REMAINDER = 1 << 2       # remaining-piece decomposition lost area
+FAIL_WHOLE_NEW_PT = 1 << 3    # whole-block placement created points
+FAIL_ALL_NEW_PTS = 1 << 4     # parcel touches no existing intersection
+FAIL_PT_OVERFLOW = 1 << 5     # [capacity] new-intersection slots exhausted
+FAIL_NB_OVERFLOW = 1 << 6     # [capacity] neighbor-snap buffer exhausted
+FAIL_MULTI_SEG_HIT = 1 << 7   # new point on >1 existing segment
+FAIL_SEG_OVERFLOW = 1 << 8    # [capacity] segment-split slots exhausted
+FAIL_GAP_OVERFLOW = 1 << 9    # [capacity] boundary-gap slots exhausted
+FAIL_PIECE_SNAP = 1 << 10     # remaining piece degenerate after snap
+FAIL_PIECE_NEW_PT = 1 << 11   # remaining piece would need a new point
+FAIL_POLY_OVERFLOW = 1 << 12  # [capacity] polygon slots exhausted
+FAIL_CONTIGUITY = 1 << 13     # [capacity] incidence/edge-table overflow
+FAIL_NO_MOVES = 1 << 14       # dead state: no feasible land-use action
+FAIL_ROAD = 1 << 15           # road-step failure
+FAIL_NO_ROAD_MOVES = 1 << 16  # dead state: no boundary left to upgrade
+
+FAILURE_BIT_NAMES = {
+    FAIL_SLICE: 'slice', FAIL_SNAP_PARCEL: 'snap_parcel',
+    FAIL_REMAINDER: 'remainder', FAIL_WHOLE_NEW_PT: 'whole_new_pt',
+    FAIL_ALL_NEW_PTS: 'all_new_pts', FAIL_PT_OVERFLOW: 'pt_overflow',
+    FAIL_NB_OVERFLOW: 'nb_overflow', FAIL_MULTI_SEG_HIT: 'multi_seg_hit',
+    FAIL_SEG_OVERFLOW: 'seg_overflow', FAIL_GAP_OVERFLOW: 'gap_overflow',
+    FAIL_PIECE_SNAP: 'piece_snap', FAIL_PIECE_NEW_PT: 'piece_new_pt',
+    FAIL_POLY_OVERFLOW: 'poly_overflow', FAIL_CONTIGUITY: 'contiguity',
+    FAIL_NO_MOVES: 'no_moves', FAIL_ROAD: 'road',
+    FAIL_NO_ROAD_MOVES: 'no_road_moves',
+}
+
+
+def failure_code_names(code: int):
+    """Decode an info['failure_code'] bitmask into its cause names."""
+    return [name for bit, name in FAILURE_BIT_NAMES.items() if code & bit]
+
+
+def _bit(bit: int, cond: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(cond, jnp.int32(bit), jnp.int32(0))
 
 
 # ---------------------------------------------------------------------------
@@ -309,9 +357,19 @@ def simplify_snap_poly(ring, nv, pts, pt_alive, snap_tol):
 
     Returns (ring, nvert, fail) where fail mirrors the host SliceError
     'not a polygon after simplify and snap'."""
+    # host input contract: GEOS-backed rings never carry near-duplicate
+    # vertices, but the jit arc walk emits raw f32 crossings that can stack
+    # 2-3 copies of a corner ~1e-4 apart (ulp noise at coords ~1e3). Those
+    # dupes change the vertex COUNT, which moves dp_simplify_ring's mid
+    # anchor and flips borderline keeps — the seed-140 divergence class
+    # (DIVERGENCE.md): the host kept a 3.9-unit chamfer vertex the jit DP
+    # dropped, so the remaining piece referenced an unregistered point.
+    # Dedupe at a tolerance above the f32 noise floor and far below any
+    # real vertex spacing (min edge lengths are meters) BEFORE DP.
+    r, n = jg.dedupe_ring(ring, nv, DEDUPE_TOL)
     # host canonicalizes before DP (plan_client.py:403) — DP anchors at
     # vertex 0, so the start vertex decides borderline keeps
-    r, n = jg.canonicalize_ring(ring, nv)
+    r, n = jg.canonicalize_ring(r, n)
     r, n = jg.dp_simplify_ring(r, n, snap_tol)
     r, n = distance_simplify_ring(r, n, EPS)
     r = snap_ring_to_points(r, n, pts, pt_alive, snap_tol)
@@ -412,7 +470,8 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     feasible pieces (host oracle: PlanClient._place_land_use,
     plan_client.py:523-564; reference plan_client.py:681-733).
 
-    Returns (next_state, failure)."""
+    Returns (next_state, failure_bits): failure_bits is the int32 FAIL_*
+    cause bitmask (0 = success; decode with failure_code_names)."""
     c = _consts(spec)
     cell = spec.cell_edge_length
     cell_area = cell * cell
@@ -450,7 +509,7 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
 
     sliver = (block_area_m - parcel_area_m0) <= spec.common_min_area
     use_whole = whole_first | ((~slice_fail) & sliver)
-    fail = (~whole_first) & slice_fail
+    fail = _bit(FAIL_SLICE, (~whole_first) & slice_fail)
     # GREEN_S downgrade uses the pre-snap parcel area (plan_client.py:544)
     actual_t = jnp.where((~use_whole) & (parcel_area_m0 < c['min_area'][t]),
                          city_config.GREEN_S, t).astype(jnp.int32)
@@ -460,7 +519,7 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     par_nin = jnp.where(use_whole, nv, parcel_n0)
     parcel_r, parcel_n, pfail = simplify_snap_poly(
         par_in, par_nin, state.pt, state.pt_alive, snap_tol)
-    fail = fail | pfail
+    fail = fail | _bit(FAIL_SNAP_PARCEL, pfail)
     parcel_area_m = jg.ring_area(parcel_r, parcel_n) * cell_area
 
     # ---- remaining pieces: ring \ convex_hull(parcel) --------------------
@@ -478,10 +537,11 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     out_area = jax.vmap(jg.ring_area)(out_r, out_n)
     piece_valid = (out_area > 1e-9) & (out_n >= 3) & ~use_whole
     rem_area = jnp.sum(jnp.where(piece_valid, out_area, 0.0))
-    fail = fail | ((~use_whole) & ~slice_fail
-                   & (ovf_out
-                      | ((rem_area <= 0)
-                         & (jnp.abs(block_area - parcel_area0) > 1e-6))))
+    fail = fail | _bit(FAIL_REMAINDER,
+                       (~use_whole) & ~slice_fail
+                       & (ovf_out
+                          | ((rem_area <= 0)
+                             & (jnp.abs(block_area - parcel_area0) > 1e-6))))
 
     # ---- new intersections: parcel vertices only (plan_client.py:514-558)
     vmask_parcel = jg.ring_mask(parcel_n, kvp)
@@ -497,17 +557,18 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     is_new = cand_new & ~dup
     # whole-feasible placements must not create points (host
     # 'Update polygon without building boundaries creates new points')
-    fail = fail | (use_whole & jnp.any(is_new))
+    fail = fail | _bit(FAIL_WHOLE_NEW_PT, use_whole & jnp.any(is_new))
     # host 'All new intersections without any old intersections!'
-    fail = fail | ((~use_whole) & (parcel_n > 0)
-                   & (jnp.sum(is_new) >= parcel_n))
+    fail = fail | _bit(FAIL_ALL_NEW_PTS,
+                       (~use_whole) & (parcel_n > 0)
+                       & (jnp.sum(is_new) >= parcel_n))
     is_new = is_new & ~use_whole
     cand = parcel_r
     n_new = jnp.sum(is_new)
-    fail = fail | (n_new > MAX_NEW_PTS)
+    fail = fail | _bit(FAIL_PT_OVERFLOW, n_new > MAX_NEW_PTS)
 
     pt_slots, pt_ovf = free_slots(state.pt_alive, MAX_NEW_PTS)
-    fail = fail | (pt_ovf & (n_new > 0))
+    fail = fail | _bit(FAIL_PT_OVERFLOW, pt_ovf & (n_new > 0))
     # order new verts: rank by cumsum
     new_rank = jnp.cumsum(is_new) - 1
     scatter_idx = jnp.where(is_new, pt_slots[jnp.clip(new_rank, 0,
@@ -541,7 +602,7 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
         kvp_m[:, :, None] & pt_valid[None, None, :] & (d_nb <= EPS),
         axis=(1, 2))
     n_touch = jnp.sum(touched)
-    fail = fail | (n_touch > MAX_NB)
+    fail = fail | _bit(FAIL_NB_OVERFLOW, n_touch > MAX_NB)
     nb_idx = rank_compact(touched, jnp.arange(spec.NP, dtype=jnp.int32),
                           MAX_NB).astype(jnp.int32)
     nb_ok = jnp.arange(MAX_NB) < n_touch
@@ -552,7 +613,7 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
         lambda r, n: jg.insert_points_on_ring(r, n, new_pts, pt_valid, EPS,
                                               max_insert=MAX_NEW_PTS))(
             sub_ring, sub_nv)
-    fail = fail | jnp.any(nb_ok & ins_ovf)
+    fail = fail | _bit(FAIL_NB_OVERFLOW, jnp.any(nb_ok & ins_ovf))
     base_ring = jg.onehot_update(
         state.poly_ring.reshape(spec.NP, kvp * 2),
         ins_ring.reshape(MAX_NB, kvp * 2), nb_idx, nb_ok
@@ -581,10 +642,11 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     # host: one new point on more than one existing line is a SliceError
     # ('New intersection is located at more than 1 existing roads or
     # boundaries', plan_client.py:443-445)
-    fail = fail | jnp.any(jnp.sum(hits, axis=1) > 1)
+    fail = fail | _bit(FAIL_MULTI_SEG_HIT,
+                       jnp.any(jnp.sum(hits, axis=1) > 1))
     seg_has = jnp.any(hits, axis=0)                           # (NS,)
     n_hit_segs = jnp.sum(seg_has)
-    fail = fail | (n_hit_segs > MAX_HIT_SEGS)
+    fail = fail | _bit(FAIL_SEG_OVERFLOW, n_hit_segs > MAX_HIT_SEGS)
 
     hit_idx = rank_compact(seg_has, jnp.arange(spec.NS, dtype=jnp.int32),
                            MAX_HIT_SEGS).astype(jnp.int32)    # (H,)
@@ -599,7 +661,8 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     on_this = hits[:, jnp.clip(hit_idx, 0, spec.NS - 1)].T    # (H, P)
     t = jnp.where(on_this, t, jg.BIG)
     cnt = jnp.sum(on_this, axis=1)                            # pts per seg
-    fail = fail | jnp.any(hit_valid & (cnt + 1 > PIECES_PER_SEG))
+    fail = fail | _bit(FAIL_SEG_OVERFLOW,
+                       jnp.any(hit_valid & (cnt + 1 > PIECES_PER_SEG)))
     t_sorted = jnp.sort(t, axis=1)                            # (H, P)
     order = jnp.argsort(t, axis=1)
     pts_sorted = new_pts[order]                               # (H, P, 2)
@@ -627,7 +690,8 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     flat_valid = piece_valid_s.reshape(-1)
     n_pieces = jnp.sum(flat_valid)
     slots, seg_ovf = free_slots(seg_alive, MAX_HIT_SEGS * PIECES_PER_SEG)
-    fail = fail | (seg_ovf & (n_pieces > jnp.sum(~seg_alive)))
+    fail = fail | _bit(FAIL_SEG_OVERFLOW,
+                       seg_ovf & (n_pieces > jnp.sum(~seg_alive)))
     rankp = jnp.cumsum(flat_valid) - 1
     widx = jnp.where(flat_valid,
                      slots[jnp.clip(rankp, 0,
@@ -652,9 +716,10 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
         parcel_r, parcel_n, seg, seg_alive)
     gflat = (gvalid & ~use_whole).reshape(-1)
     n_need = jnp.sum(gflat)
-    fail = fail | (gap_ovf & ~use_whole) | (n_need > MAX_NEW_SEGS)
+    fail = fail | _bit(FAIL_GAP_OVERFLOW,
+                       (gap_ovf & ~use_whole) | (n_need > MAX_NEW_SEGS))
     b_slots, b_ovf = free_slots(seg_alive, MAX_NEW_SEGS)
-    fail = fail | (b_ovf & (n_need > 0))
+    fail = fail | _bit(FAIL_GAP_OVERFLOW, b_ovf & (n_need > 0))
     need_rank = jnp.cumsum(gflat) - 1
     bidx = jnp.where(gflat,
                      b_slots[jnp.clip(need_rank, 0, MAX_NEW_SEGS - 1)],
@@ -672,19 +737,20 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     pieces_r, pieces_n, piece_pfail = jax.vmap(
         lambda r, n: simplify_snap_poly(r, n, pt, pt_alive, snap_tol))(
             out_r, out_n)
-    fail = fail | jnp.any(piece_valid & piece_pfail)
+    fail = fail | _bit(FAIL_PIECE_SNAP, jnp.any(piece_valid & piece_pfail))
     d_piece = jnp.linalg.norm(
         pieces_r[:, :, None, :] - pt[None, None, :, :], axis=-1)
     d_piece = jnp.where(pt_alive[None, None, :], d_piece, jg.BIG)
     piece_vm = jax.vmap(jg.ring_mask, in_axes=(0, None))(pieces_n, kvp)
     piece_has_new = jnp.any(piece_vm & (d_piece.min(axis=2) > MERGE_TOL),
                             axis=1)
-    fail = fail | jnp.any(piece_valid & piece_has_new)
+    fail = fail | _bit(FAIL_PIECE_NEW_PT,
+                       jnp.any(piece_valid & piece_has_new))
 
     # ---- write polygons -------------------------------------------------
     poly_alive = state.poly_alive.at[p].set(False)
     poly_slots, poly_ovf = free_slots(poly_alive, N_NEW_POLY)
-    fail = fail | poly_ovf
+    fail = fail | _bit(FAIL_POLY_OVERFLOW, poly_ovf)
     parcel_slot = poly_slots[0]
     piece_slots = poly_slots[1:]
 
@@ -754,7 +820,7 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     ])
     interim = update_contiguity(spec, interim, new_poly_ids, new_pt_ids,
                                 new_seg_ids, killed_feats)
-    fail = fail | interim.failure
+    fail = fail | _bit(FAIL_CONTIGUITY, interim.failure)
 
     next_state = interim.replace(failure=jnp.asarray(False))
     return next_state, fail
@@ -1565,12 +1631,13 @@ def env_step(spec: EnvSpec, state: PlanState, action: jnp.ndarray,
     in_lu = state.stage == 0
     in_rd = state.stage == 1
 
-    lu_next, lu_fail = apply_land_use(spec, state, action[0])
+    lu_next, lu_bits = apply_land_use(spec, state, action[0])
     rd_next, rd_fail = apply_road(spec, state, action[1])
 
     nxt = jax.tree.map(
         lambda a, b: jnp.where(in_lu, a, b), lu_next, rd_next)
-    fail = jnp.where(in_lu, lu_fail, rd_fail)
+    fail_bits = jnp.where(in_lu, lu_bits, _bit(FAIL_ROAD, rd_fail))
+    fail = fail_bits != 0
 
     # land-use completion -> fill leftover, transition
     lu_done = is_land_use_done(spec, nxt) & in_lu
@@ -1635,7 +1702,9 @@ def env_step(spec: EnvSpec, state: PlanState, action: jnp.ndarray,
         ~jnp.any(eligible_land_use_polys(spec, nxt, t_next))
     no_road_moves = (stage == 1) & ~jnp.any(
         nxt.seg_alive & (nxt.seg_type == city_config.BOUNDARY))
-    fail = fail | no_moves | no_road_moves
+    fail_bits = fail_bits | _bit(FAIL_NO_MOVES, no_moves) \
+        | _bit(FAIL_NO_ROAD_MOVES, no_road_moves)
+    fail = fail_bits != 0
 
     done = lu_done & jnp.asarray(spec.skip_road) | rd_done | fail
     reward = jnp.where(fail, FAILURE_REWARD, reward)
@@ -1643,5 +1712,6 @@ def env_step(spec: EnvSpec, state: PlanState, action: jnp.ndarray,
     nxt = nxt.replace(done=done, failure=fail,
                       land_use_reward=land_use_reward)
     info = {'land_use_reward': land_use_reward,
-            'failure': fail, 'lu_done': lu_done, 'rd_done': rd_done}
+            'failure': fail, 'failure_code': fail_bits,
+            'lu_done': lu_done, 'rd_done': rd_done}
     return nxt, reward, done, info
