@@ -20,3 +20,13 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# Persistent compilation cache: XLA compile time dominates the suite's
+# wall clock (every test file jits the env/model programs). The on-disk
+# cache works for the CPU backend too (verified: warm entries under
+# ~/.cache/urban_tpu/jax), so the FIRST full run populates it and every
+# later run — including the `-m "not slow"` commit gate — reuses the
+# compiled programs. Opt out with URBAN_TPU_NO_COMPILE_CACHE=1.
+from urban_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -111,8 +111,22 @@ def test_dedupe_ring_wraparound_closure():
     r2, n2 = pad_ring(ring2)
     out2, nv2 = jg.dedupe_ring(r2, n2)
     assert int(nv2) == 4
-    # vertices genuinely near-but-distinct from vertex 0 mid-ring survive
-    ring3 = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    # a near-duplicate of vertex 0 MID-ring (followed by distinct vertices)
+    # is not a wraparound closure and must survive
+    ring3 = np.array([[0, 0], [10, 0], [eps, eps], [0, 10]], dtype=float)
     r3, n3 = pad_ring(ring3)
     out3, nv3 = jg.dedupe_ring(r3, n3)
     assert int(nv3) == 4
+    np.testing.assert_allclose(np.asarray(out3[2]), [eps, eps])
+    # trailing drift chain: the penultimate vertex is a consecutive dup of
+    # the last (dropped by compaction) and the survivor is a wrap-duplicate
+    # of vertex 0 — the host compacts FIRST, then trims (ops.py:227-229),
+    # so both go; the dropped dup must not break the suffix run
+    tol = 1e-7
+    ring4 = np.array([[0, 0], [10, 0], [10, 10], [0, 10],
+                      [0.8 * tol, 0], [1.6 * tol, 0]], dtype=float)
+    r4, n4 = pad_ring(ring4)
+    out4, nv4 = jg.dedupe_ring(r4, n4)
+    assert int(nv4) == 4
+    host4 = ops.dedupe_ring(ring4, tol)
+    assert len(host4) == 4

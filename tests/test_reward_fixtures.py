@@ -12,6 +12,8 @@ grid scenario frame (240x240 cells of 10 m, community area 5.76 km²):
   * greenness: full coverage (adjacent big green) and zero coverage
     (green below the 2000 m² threshold)
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -265,3 +267,30 @@ def test_greenness_partial_shadow_fixture(cfg):
     assert host == pytest.approx(30.0 / 58.0, abs=0.02)  # raster resolution
     jit = float(js.greenness_reward(spec, state))
     assert jit == pytest.approx(3.0 / 5.0, abs=1e-6)
+
+
+def test_greenness_corner_arc_convergence(cfg):
+    """Raster convergence against a closed-form ARC-dominated coverage
+    (the worst case for the host's raster approximation of the
+    reference's exact GEOS buffer area, reference plan_client.py:954-967):
+    residential 20x20-cell square placed diagonally off a 10x10-cell
+    green, so the covered region is a pure circle-rectangle clip with
+    exact area known analytically. Anchors docs/GREENNESS.md: the default
+    raster must sit within 1.5% of exact on this adversarially SMALL
+    region (real residential footprints are ~25x larger, and the pinned
+    plans measure <1e-3), and doubling the resolution must not make it
+    worse."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+    from tools.greenness_convergence import (build_corner_fixture,
+                                             corner_arc_exact)
+
+    exact = corner_arc_exact()
+    assert exact == pytest.approx(0.5454060401859365, abs=1e-12)
+    plc = build_corner_fixture(cfg)
+    errs = {}
+    for res in (512, 2048):
+        plc.GREEN_RASTER = res
+        errs[res] = abs(plc.get_greenness_reward() - exact)
+    assert errs[512] < 0.015
+    assert errs[2048] < 0.6 * errs[512]  # ~1/res decay

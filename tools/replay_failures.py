@@ -176,9 +176,32 @@ def replay_one(cfg, spec, init_state, actions, fail_step):
     return res
 
 
-def run(max_episodes=40, caps=None, B=256, T=30, scenario='hlg'):
+def _episode_start(resets, b, t):
+    for tt in range(t, -1, -1):
+        if resets[tt, b]:
+            return tt
+    return 0
+
+
+HOST_FAIL_RESULTS = ('host_failed',)  # host engine fails the same episode
+# 'host_raised' = the host engine's own invariant asserts fired — the
+# reference converts exactly these into FAILURE_REWARD terminations
+# (reference city.py:450-457), so it also counts as host-confirmed
+HOST_CONFIRMED_RESULTS = ('host_failed', 'host_raised')
+
+
+def run_corpus(scenario='hlg', caps=None, B=256, T=30, key_seed=2,
+               params_seed=0, budget_s=None, max_failures=None,
+               n_success=20, verbose=True):
+    """Replay the bench failure corpus (and a sample of SUCCESS episodes)
+    through the host oracle; returns a fidelity-metrics dict.
+
+    The (B, T, key_seed, params_seed, caps) defaults reproduce bench.py's
+    first timed trial exactly, so the corpus replayed IS the corpus the
+    headline bench reports. budget_s bounds host wall-clock; coverage is
+    reported honestly in the output."""
+    import time
     import jax
-    import jax.numpy as jnp
     from urban_tpu.utils.config import Config
     from urban_tpu.envs.plan_client import PlanClient
     from urban_tpu.jaxenv.state import build_env_spec, build_initial_state
@@ -197,38 +220,107 @@ def run(max_episodes=40, caps=None, B=256, T=30, scenario='hlg'):
     mcfg.state_encoder_specs['max_num_edges'] = spec.NE
     model = create_model(mcfg, 'sgnn')
     obs0 = jax.tree.map(lambda x: x[None], build_obs(spec, init_state))
-    params = model.init(jax.random.PRNGKey(0), obs0)
+    params = model.init(jax.random.PRNGKey(params_seed), obs0)
 
     acts, resets, dones, fails = collect_trajectories(
-        spec, model, params, init_state, B, T, jax.random.PRNGKey(2))
-    events = list(zip(*np.nonzero(fails.T)))  # (b, t) ordered by env
-    print(f'collected {int(dones.sum())} episodes, '
-          f'{len(events)} failures at caps={caps}')
+        spec, model, params, init_state, B, T, jax.random.PRNGKey(key_seed))
+    fail_events = list(zip(*np.nonzero(fails.T)))         # (b, t)
+    succ_events = list(zip(*np.nonzero((dones & ~fails).T)))
+    if verbose:
+        print(f'corpus: {int(dones.sum())} episodes, '
+              f'{len(fail_events)} failures at caps={caps}')
 
-    outcomes = []
-    for b, t in events[:max_episodes]:
-        t0 = 0
-        for tt in range(t, -1, -1):
-            if resets[tt, b]:
-                t0 = tt
+    t_start = time.time()
+
+    def out_of_budget():
+        return budget_s is not None and time.time() - t_start > budget_s
+
+    def replay_events(events, limit):
+        outcomes = []
+        for b, t in events[:limit] if limit else events:
+            if out_of_budget():
                 break
-        episode_actions = acts[t0:t + 1, b]
-        res = replay_one(Config(scenario, 0, tmp=True), spec, init_state,
-                         episode_actions, fail_step=t - t0)
-        res.update(env=int(b), t=int(t), t0=int(t0))
-        res = {k: (int(v) if isinstance(v, (np.integer,)) else v)
-               for k, v in res.items()}
-        outcomes.append(res)
-        print(json.dumps(res))
+            t0 = _episode_start(resets, b, t)
+            res = replay_one(Config(scenario, 0, tmp=True), spec,
+                             init_state, acts[t0:t + 1, b],
+                             fail_step=t - t0)
+            res.update(env=int(b), t=int(t), t0=int(t0))
+            res = {k: (int(v) if isinstance(v, np.integer) else v)
+                   for k, v in res.items()}
+            outcomes.append(res)
+            if verbose:
+                print(json.dumps(res))
+        return outcomes
 
-    summary = {}
-    for r in outcomes:
-        summary[r['host_result']] = summary.get(r['host_result'], 0) + 1
-    return summary, outcomes
+    fail_out = replay_events(fail_events, max_failures)
+    # spread the success sample across envs (first-done episodes are
+    # correlated in t, not in env index)
+    rng = np.random.default_rng(key_seed)
+    succ_sample = [succ_events[i] for i in
+                   rng.permutation(len(succ_events))[:n_success]]
+    succ_out = replay_events(succ_sample, None)
+
+    def tally(outcomes):
+        s = {}
+        for r in outcomes:
+            s[r['host_result']] = s.get(r['host_result'], 0) + 1
+        return s
+
+    n_fail_total = len(fail_events)
+    n_fail_rep = len(fail_out)
+    confirmed = sum(1 for r in fail_out
+                    if r['host_result'] in HOST_CONFIRMED_RESULTS)
+    # mapped = the replay stayed geometrically identified end to end; an
+    # unmappable episode is indeterminate, not a host-survival
+    adjudicated = sum(1 for r in fail_out if r['host_result'] in
+                      HOST_CONFIRMED_RESULTS + ('host_survived',))
+    succ_host_fail = sum(1 for r in succ_out
+                         if r['host_result'] in HOST_CONFIRMED_RESULTS)
+    succ_adjudicated = sum(1 for r in succ_out if r['host_result'] in
+                           HOST_CONFIRMED_RESULTS + ('in_lockstep',))
+    episodes = int(dones.sum())
+    jit_fail_rate = n_fail_total / max(episodes, 1)
+    # host failure rate under the SAME action sequences, estimated from
+    # both conditional branches of the corpus
+    p_fail_given_fail = confirmed / max(adjudicated, 1)
+    p_fail_given_succ = succ_host_fail / max(succ_adjudicated, 1)
+    host_rate = (jit_fail_rate * p_fail_given_fail
+                 + (1 - jit_fail_rate) * p_fail_given_succ)
+    metrics = {
+        'scenario': scenario,
+        'episodes': episodes,
+        'jit_failures': n_fail_total,
+        'jit_failure_rate': round(jit_fail_rate, 4),
+        'failures_replayed': n_fail_rep,
+        'failure_replay_coverage': round(n_fail_rep / max(n_fail_total, 1),
+                                         3),
+        'failures_host_confirmed': confirmed,
+        'failures_adjudicated': adjudicated,
+        'failure_host_confirmed_pct': round(
+            100.0 * confirmed / max(adjudicated, 1), 1),
+        'failure_outcomes': tally(fail_out),
+        'successes_replayed': len(succ_out),
+        'success_host_fail': succ_host_fail,
+        'success_outcomes': tally(succ_out),
+        'host_failure_rate_est': round(host_rate, 4),
+        'host_vs_jit_failure_ratio': round(
+            host_rate / max(jit_fail_rate, 1e-9), 3),
+        'replay_wall_s': round(time.time() - t_start, 1),
+    }
+    return metrics, fail_out, succ_out
+
+
+def run(max_episodes=40, caps=None, B=256, T=30, scenario='hlg'):
+    metrics, fail_out, _ = run_corpus(scenario, caps=caps, B=B, T=T,
+                                      max_failures=max_episodes,
+                                      n_success=0)
+    return metrics['failure_outcomes'], fail_out
 
 
 if __name__ == '__main__':
-    max_eps = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    from urban_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    max_eps = int(sys.argv[1]) if len(sys.argv) > 1 else None
     caps = ROOMY_CAPS if '--roomy' in sys.argv else BENCH_CAPS
-    summary, _ = run(max_eps, caps=caps)
-    print(json.dumps(summary, indent=2))
+    metrics, _, _ = run_corpus(max_failures=max_eps, caps=caps)
+    print(json.dumps(metrics, indent=2))

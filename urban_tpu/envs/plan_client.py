@@ -857,6 +857,15 @@ def _nan_to(v: float, default: float) -> float:
 
 def _points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized crossing-number point-in-polygon for many points."""
+    # bbox prefilter: rasters sweep the whole community while polygons are
+    # small, so the O(pts x edges) crossing test only runs on candidates
+    lo, hi = ring.min(axis=0), ring.max(axis=0)
+    box = np.all((pts >= lo) & (pts <= hi), axis=1)
+    if not box.all():
+        out = np.zeros(len(pts), dtype=bool)
+        if box.any():
+            out[box] = _points_in_ring(pts[box], ring)
+        return out
     x, y = pts[:, 0], pts[:, 1]
     a = ring
     b = np.roll(ring, -1, axis=0)
@@ -874,6 +883,15 @@ def _points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
 def _points_within_ring_distance(pts: np.ndarray, ring: np.ndarray,
                                  radius: float) -> np.ndarray:
     """True for points within `radius` of the polygon (inside counts)."""
+    # bbox-expanded prefilter (identical result, avoids the O(pts x edges)
+    # distance matrix on raster-scale point sets)
+    lo, hi = ring.min(axis=0) - radius, ring.max(axis=0) + radius
+    box = np.all((pts >= lo) & (pts <= hi), axis=1)
+    if not box.all():
+        out = np.zeros(len(pts), dtype=bool)
+        if box.any():
+            out[box] = _points_within_ring_distance(pts[box], ring, radius)
+        return out
     a = ring
     b = np.roll(ring, -1, axis=0)
     d = ops.point_segment_distance(pts[:, None, :], a[None], b[None]).min(axis=1)

@@ -325,8 +325,17 @@ def dedupe_ring(ring: jnp.ndarray, nvert: jnp.ndarray, tol: float = 1e-7):
     pos = jnp.arange(kv)
     dup = jnp.linalg.norm(ring - ring_prev(ring, nvert), axis=-1) <= tol
     keep = m & (~dup | (pos == 0))
-    # trailing run of wrap-duplicates of vertex 0
-    ok = (jnp.linalg.norm(ring - ring[0], axis=-1) <= tol) | ~m
+    # trailing run of wrap-duplicates of vertex 0. The host trims AFTER
+    # compaction (geometry/ops.py:227-229), so vertices already dropped by
+    # the consecutive-dup pass are transparent here: a trailing drift chain
+    # [.., v0+0.8t, v0+1.6t] compacts to its first member, which the host's
+    # while-loop then drops — without the ~keep term the 1.6t member would
+    # break the suffix run and leave a wrap-duplicate the host drops.
+    # Residual (accepted, documented in step.py DEVIATIONS): the host's dup
+    # compaction chains against the last-KEPT vertex, this one against the
+    # immediate predecessor; they differ only on monotone drift chains
+    # spanning >1 tol, which f32 arc-walk noise (~ulp) cannot produce.
+    ok = (jnp.linalg.norm(ring - ring[0], axis=-1) <= tol) | ~m | ~keep
     suffix_all = jnp.flip(jnp.cumprod(jnp.flip(ok.astype(jnp.int32))))
     keep = keep & ~(suffix_all.astype(bool) & (pos > 0))
     counts = keep.astype(jnp.int32)

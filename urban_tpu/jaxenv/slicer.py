@@ -199,23 +199,32 @@ def other_endpoint_at(ring, nv, p_c, exclude):
     contain `exclude` (host get_the_other_edge + other_endpoint).
 
     Returns (point, ok). ok=False mirrors the host SliceError when the
-    vertex is not found or both/neither neighbor edge excludes the point."""
+    vertex is not found or the number of candidate edges is not exactly 1.
+    Like the host (geometry/slicer.py:82-94, reference shapely.py:127-148),
+    ALL ring edges are scanned — not just the two adjacent to p_c: a ring
+    that pinches back within tolerance of the corner yields 2-3 candidates
+    and must FAIL, exactly as the host raises its SliceError (the seed-117
+    divergence class, DIVERGENCE.md round 5)."""
     kv = ring.shape[0]
     m = jg.ring_mask(nv, kv)
     vd = jnp.where(m, jnp.linalg.norm(ring - p_c, axis=-1), jg.BIG)
     vi = jnp.argmin(vd)
     found = vd[vi] <= EPS
     nxt_idx = jg.ring_roll_indices(nv, kv)
-    prv_idx = jnp.where(jnp.arange(kv) == 0, jnp.maximum(nv - 1, 0),
-                        jnp.arange(kv) - 1)
-    p_prev = ring[prv_idx[vi]]
-    p_next = ring[nxt_idx[vi]]
-    d_prev = jg.point_segment_distance(exclude, p_prev, p_c)
-    d_next = jg.point_segment_distance(exclude, p_c, p_next)
-    far_prev = d_prev >= EPS
-    far_next = d_next >= EPS
-    ok = found & (far_prev != far_next)
-    return jnp.where(far_prev, p_prev, p_next), ok
+    a = ring                       # edge i = (ring[i], ring[nxt[i]])
+    b = ring[nxt_idx]
+    d_pc = jg.point_segment_distance(p_c, a, b)
+    d_ex = jg.point_segment_distance(exclude, a, b)
+    # host tolerances: edge contains p_c at EPS*10 (+1e-9 f64 slack),
+    # excludes the other corner at epsilon=EPS
+    cand = m & (d_pc <= EPS * 10 + 1e-9) & (d_ex >= EPS)
+    count = jnp.sum(cand)
+    ei = jnp.argmax(cand)          # unique when count == 1 (the ok case)
+    pa, pb = a[ei], b[ei]
+    far = jnp.where(jnp.linalg.norm(pa - p_c) >= jnp.linalg.norm(pb - p_c),
+                    pa, pb)
+    ok = found & (count == 1)
+    return far, ok
 
 
 # ---------------------------------------------------------------------------

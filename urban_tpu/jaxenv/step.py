@@ -4,10 +4,11 @@ Implements the reference MDP (reference: urban_planning/envs/city.py:420-540,
 plan_client.py:681-759) as a pure function of fixed-size buffers:
 
   * action masks recomputed from the contiguity table each step
-  * land-use placement: whole-feasible shortcut, corner/mid-edge cut
-    construction (convex rect/envelope vs part-edge sweep — the dominant
-    paths of the reference slicing tree; see DEVIATIONS below), convex clip
-    for the parcel, 4-wedge difference for remaining feasible pieces, vertex
+  * land-use placement: whole-feasible shortcut, the full branch-complete
+    slicing tree (jaxenv/slicer.py compute_cutter, wired below: U/L-shape
+    refinement unrolled, rect-tri shrink, part-edge sweeps — every branch
+    of the reference's shapely.py decision tree), convex clip for the
+    parcel, 4-wedge difference for remaining feasible pieces, vertex
     snapping, new-intersection allocation with segment splitting, boundary
     bookkeeping, incremental contiguity updates
   * road building as a segment type flip under the road-step budget
@@ -16,17 +17,28 @@ plan_client.py:681-759) as a pure function of fixed-size buffers:
   * rewards computed branchlessly every step and gated by the stage
     transition indicators
 
-DEVIATIONS from the exact host engine (the oracle in urban_tpu/envs):
-  * the slicing tree's rare refinement branches (U/L-shape reflection
-    loops, rect-tri shrinking) collapse onto the envelope/oriented-rect
-    outcomes; differential tests cover the dominant paths
-  * multi-piece clip results stay as one bridged ring (area-preserving)
-  * greenness uses polygon-sample coverage instead of exact buffer area
+DEVIATIONS from the exact host engine (the oracle in urban_tpu/envs) —
+this docstring is the single authoritative residual list (README and
+COMPONENTS.md point here); measured impact is in DIVERGENCE.md:
+  * multi-piece clip results stay as one bridged ring (area-preserving;
+    the host keeps separate feasible pieces)
+  * greenness uses polygon-sample coverage instead of the host's
+    rasterized buffer coverage (both approximate the reference's exact
+    GEOS buffer area; convergence study in DIVERGENCE.md)
   * shape metrics use ring-edge-direction rectangles instead of the exact
-    minimum rotated rectangle (equal for convex parcels)
+    minimum rotated rectangle — equal for convex parcels, and MRR TIES
+    (several directions within f32 noise of the minimum) can pick a
+    different but equally-minimal rectangle than the host
   * the road-network large-block penalty counts faces via a raster
     decomposition on the scenario grid instead of exact polygonize
     (equal for grid-aligned road networks; tests/test_reward_parity.py)
+  * f32 device arithmetic (with compensated/Dekker products on the
+    sensitive predicates) vs the host's f64: borderline orientation /
+    area-threshold / DP-keep decisions can flip on near-degenerate
+    inputs — the residual lockstep-divergence tail in DIVERGENCE.md
+  * dedupe_ring compacts consecutive near-duplicates against the
+    immediate predecessor, not the host's last-kept vertex; differs only
+    on monotone drift chains spanning >1 tol (geometry.py:dedupe_ring)
 """
 from __future__ import annotations
 
@@ -43,7 +55,11 @@ from urban_tpu.jaxenv.state import EnvSpec, PlanState
 
 EPS = 1e-4
 MERGE_TOL = 1e-6
-DEDUPE_TOL = 1e-3  # raw-crossing dedupe: above f32 ulp at coords <= 4096
+DEDUPE_TOL = 1e-3  # raw-crossing dedupe: above f32 ulp at coords <= 4096.
+# Assumed (asserted at the place_land_use call site): real vertex spacing is
+# >> 1e-3 grid cells (min edge lengths are meters, cells are 10-30 m) and
+# snap_tol >> DEDUPE_TOL, so any vertex pair this pass merges that the host
+# keeps into DP would be dropped by DP at snap_tol anyway.
 MAX_NEW_PTS = 8
 FAILURE_REWARD = -1.0
 
@@ -476,6 +492,11 @@ def apply_land_use(spec: EnvSpec, state: PlanState, a: jnp.ndarray):
     cell = spec.cell_edge_length
     cell_area = cell * cell
     snap_tol = 1.0 / cell  # SNAP_EPSILON=1 m in grid units
+    # DEDUPE_TOL merges pre-DP what DP-at-snap_tol would drop anyway; that
+    # only holds while the dedupe radius is far inside the DP tolerance
+    # (true for any cell edge < 1 km; scenarios use 10-30 m cells)
+    assert snap_tol > 10 * DEDUPE_TOL, (
+        f'snap_tol {snap_tol} must dominate DEDUPE_TOL {DEDUPE_TOL}')
 
     t = pending_land_use_type(spec, state)
     e = state.edge[a]

@@ -169,6 +169,20 @@ class TPUTrainer:
         advantages, returns = batched_gae(traj.rewards, traj.dones,
                                           traj.values, self.cfg.gamma,
                                           self.cfg.tau)
+        # value-bootstrap mixing diagnostic: RMS gap between the critic and
+        # the MONTE-CARLO return (gamma, tau=1), regardless of the tau the
+        # update trains against. Under tau=0 (the reference default) the TD
+        # targets equilibrate one step per update through the bootstrap
+        # chain, so this gap — not the TD error — measures how far the
+        # chain has actually mixed; it is the metric behind the
+        # reference-defaults fidelity question (BASELINE.md round-3/round-5
+        # analysis).
+        _, mc_returns = batched_gae(traj.rewards, traj.dones, traj.values,
+                                    self.cfg.gamma, 1.0)
+        w = weights.reshape(-1)
+        gap = (traj.values - mc_returns).reshape(-1)
+        self.last_value_mc_rms = float(jnp.sqrt(
+            jnp.sum(gap * gap * w) / jnp.maximum(jnp.sum(w), 1.0)))
         if self.cfg.agent_specs.get('normalize_advantages', False):
             from urban_tpu.jaxenv.rollout import normalize_advantages
             advantages = normalize_advantages(advantages, weights)
@@ -286,12 +300,16 @@ class TPUTrainer:
             f'steps/s {out.steps_per_sec:.0f}\teps {out.episodes}\t'
             f'fail {out.failures}\tR_eps {mean_ep:.3f}\t'
             f'R_eval {eval_r:.3f}\tbest {self.best_reward:.3f}\t'
-            f'{self.cfg.id}')
+            f'V_mc_rms {getattr(self, "last_value_mc_rms", float("nan")):.4f}'
+            f'\t{self.cfg.id}')
         if self.tb is not None:
             self.tb.add_scalar('train/train_R_eps_avg', mean_ep, iteration)
             for k in ('loss', 'value_loss', 'surr_loss', 'entropy_loss'):
                 self.tb.add_scalar(f'loss/{k}',
                                    float(np.asarray(stats[k])), iteration)
+            self.tb.add_scalar('diag/value_mc_rms',
+                               getattr(self, 'last_value_mc_rms',
+                                       float('nan')), iteration)
         return out
 
     # ------------------------------------------------------------------
@@ -421,7 +439,7 @@ def run_training(cfg: Config, iterations: int, num_envs: Optional[int],
                  separate_train: bool, eval_envs: int = 16,
                  use_tensorboard: bool = True, rollout_len: int = None,
                  resume: str = None, warm_start_phase2: bool = True,
-                 num_devices: int = 0):
+                 num_devices: int = 0, encoder: str = 'sgnn'):
     """Training driver: single-phase, or the reference's two-phase
     land-use -> freeze -> road curriculum (reference train.py:64-72).
 
@@ -438,7 +456,7 @@ def run_training(cfg: Config, iterations: int, num_envs: Optional[int],
     if num_devices > 1:
         mesh = make_mesh(num_devices)
     trainer = TPUTrainer(cfg, num_envs=num_envs, rollout_len=rollout_len,
-                         eval_envs=eval_envs, mesh=mesh,
+                         eval_envs=eval_envs, mesh=mesh, encoder=encoder,
                          use_tensorboard=use_tensorboard,
                          keep_boundaries=separate_train)
     resume_phase = 1
@@ -527,6 +545,10 @@ def main():
                       'into the road phase, like the reference\'s '
                       'load_checkpoint("best") before finetuning.')
     flags.DEFINE_bool('tmp', True, 'Temporary storage.')
+    flags.DEFINE_enum('encoder', 'sgnn', ['sgnn', 'mlp'],
+                      'State-encoder trunk: sgnn (GCN message passing, the '
+                      'paper model) or mlp (the reference\'s rl-mlp ablation, '
+                      'reference state_encoder.py:217-308 / train.py:17-18).')
     FLAGS = flags.FLAGS
 
     def run(_):
@@ -542,7 +564,7 @@ def main():
                      FLAGS.separate_train, FLAGS.eval_envs,
                      FLAGS.tensorboard, FLAGS.rollout_len or None,
                      FLAGS.resume or None, FLAGS.warm_start_phase2,
-                     num_devices=FLAGS.num_devices)
+                     num_devices=FLAGS.num_devices, encoder=FLAGS.encoder)
 
     flags.mark_flags_as_required(['cfg'])
     app.run(run)
