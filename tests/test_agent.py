@@ -25,6 +25,7 @@ def trained_agent():
     return agent
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(trained_agent):
     import jax
     from urban_tpu.agents.urban_agent import UrbanPlanningAgent
@@ -39,6 +40,7 @@ def test_checkpoint_resume(trained_agent):
     assert resumed.best_rewards == pytest.approx(trained_agent.best_rewards)
 
 
+@pytest.mark.slow
 def test_best_plan_payload(trained_agent):
     assert len(trained_agent.best_plans) >= 1
     plan = trained_agent.best_plans[0]
@@ -46,6 +48,7 @@ def test_best_plan_payload(trained_agent):
     assert 'gdf' in plan
 
 
+@pytest.mark.slow
 def test_ga_policy_fitness(trained_agent):
     gene = np.zeros(2 * trained_agent.node_dim + 1)
     gene[0] = 1.0
@@ -119,6 +122,7 @@ def test_ppo_epoch_matches_stepwise():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_tpu_trainer_two_phase_freeze():
     """freeze_land_use_trainer must rebuild the model around the regrown
     slot table (the frozen plan changes the observation width; regression:

@@ -61,6 +61,7 @@ def test_ga_road_logits_match_host_policy():
         assert rd == int(host_action[1])
 
 
+@pytest.mark.slow
 def test_ga_multigeneration_population20():
     """A small but real GA run: population 20 through 3 generations of the
     vmapped jit-env fitness (reference train_ga.py:69-94 runs pygad over
@@ -84,6 +85,7 @@ def test_ga_multigeneration_population20():
     assert ga.best_solutions_fitness[-1] >= ga.best_solutions_fitness[0]
 
 
+@pytest.mark.slow
 def test_ga_population_fitness_vmapped():
     """Whole-population fitness in one jitted call: finite scores, failures
     mapped to -1, plausible HLG reward range."""

@@ -59,6 +59,7 @@ def test_pending_type_progression(hlg_setup):
     assert int(js.pending_land_use_type(spec, state2)) == city_config.SCHOOL
 
 
+@pytest.mark.slow
 def test_full_episode_jax_env(hlg_setup):
     # Random play CAN legitimately end in a geometry FAILURE (the host
     # engine fails on the same action sequences — e.g. rng seed 0 fails at
@@ -176,6 +177,7 @@ def test_batched_gae_matches_reference_formula():
 
 @pytest.mark.parametrize('scenario,rmin,rmax', [('dhm', 2.0, 4.5),
                                                 ('hlg_concept', 2.0, 5.0)])
+@pytest.mark.slow
 def test_full_episode_other_scenarios(scenario, rmin, rmax):
     """DHM and the concept-conditioned HLG also run to completion in the
     jitted env with plausible terminal rewards (concept_weight exercises the
@@ -206,6 +208,7 @@ def test_full_episode_other_scenarios(scenario, rmin, rmax):
     assert rmin < float(reward) < rmax
 
 
+@pytest.mark.slow
 def test_edge_liveness_invariant(hlg_setup):
     """build_obs relies on edge_alive implying both endpoints alive (the
     per-step endpoint re-check was dropped as two serialized gathers);

@@ -19,6 +19,7 @@ logger.addHandler(logging.NullHandler())
 logger.propagate = False
 
 
+@pytest.mark.slow
 def test_road_stage_on_frozen_land_use():
     # complete land use with the exact host engine on grid, then drive the
     # ROAD stage in the jitted env from the frozen plan (the reference's

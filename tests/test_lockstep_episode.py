@@ -22,6 +22,10 @@ from urban_tpu.jaxenv import step as js
 from urban_tpu.jaxenv.state import build_env_spec, build_initial_state
 from urban_tpu.utils.config import Config
 
+# Multi-seed full-episode host-vs-jit replays: minutes each, not commit-gate
+# material. The gate's lockstep coverage is test_cross_engine.py.
+pytestmark = pytest.mark.slow
+
 logger = logging.getLogger('lockstep')
 logger.addHandler(logging.NullHandler())
 logger.propagate = False

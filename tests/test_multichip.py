@@ -79,6 +79,7 @@ def test_shard_batch_shards_leading_axis(setup):
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_dp_update_matches_single_device(setup):
     """The 8-shard dp update must produce the same params as a single-device
     step on the full batch (global weighted-mean loss semantics)."""
@@ -142,6 +143,7 @@ def test_dp_update_matches_single_device(setup):
         np.testing.assert_array_equal(shards[0], arr)
 
 
+@pytest.mark.slow
 def test_failed_batch_produces_zero_gradient(setup):
     """Rows excluded by the success filter (valid=0, exps=0) must not train
     anything — matching the reference, whose memory never contains them
@@ -159,6 +161,7 @@ def test_failed_batch_produces_zero_gradient(setup):
     assert total == 0.0
 
 
+@pytest.mark.slow
 def test_tpu_trainer_two_iterations_on_mesh(setup):
     """Full trainer loop on the 8-device mesh: runs, params stay replicated
     and identical across devices."""
@@ -175,6 +178,7 @@ def test_tpu_trainer_two_iterations_on_mesh(setup):
         np.testing.assert_array_equal(per_dev[0], arr)
 
 
+@pytest.mark.slow
 def test_run_training_cli_driver_on_mesh(setup, tmp_path):
     """End-to-end CLI-driver path on the 8-device mesh: run_training with
     num_devices=8 (the --num_devices flag's target) trains two iterations

@@ -55,6 +55,7 @@ def cfg():
     return Config('grid', 0, tmp=True)
 
 
+@pytest.mark.slow
 def test_road_network_fixture(cfg):
     """Hand computation (coordinates in 10 m cells):
     A: 5-cell isolated segment              -> 50 m road, short, 2 dead ends
@@ -150,6 +151,7 @@ def test_greenness_fixture_full_and_zero(cfg):
         0.0, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_large_block_serpentine(cfg):
     """Adversarial face decomposition: a serpentine road corridor whose
     single face has a geodesic depth far beyond the old fixed-iteration

@@ -50,6 +50,7 @@ def test_mask_count_parity(setup):
     assert int(np.asarray(jit_mask).sum()) == int(host_mask.sum())
 
 
+@pytest.mark.slow
 def test_road_network_reward_parity_grid():
     """Drive a full two-stage episode (land use + roads) in the jitted env
     on the grid scenario, export the terminal plan, and compare the jit

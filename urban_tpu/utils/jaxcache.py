@@ -44,8 +44,25 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     cache_dir = (cache_dir
                  or os.environ.get('URBAN_TPU_COMPILE_CACHE_DIR')
                  or DEFAULT_DIR)
-    os.makedirs(cache_dir, exist_ok=True)
+    # Partition by platform + XLA_FLAGS: the cache key does not cover every
+    # codegen-relevant compile option, and loading an entry compiled under a
+    # different flag set (e.g. the test suite's 8-device host topology) both
+    # warns about machine-feature mismatches AND can change borderline f32
+    # results between processes — observed as non-reproducible lockstep
+    # divergence metrics. One subdirectory per configuration keeps every
+    # process deterministic and reproducible.
+    import hashlib
     import jax
+    # jax.config is the authoritative platform selection on this box (the
+    # axon plugin ignores the env var), so key on the config value, falling
+    # back to the env var when no explicit selection was made.
+    platform_sel = (getattr(jax.config, 'jax_platforms', None)
+                    or os.environ.get('JAX_PLATFORMS', ''))
+    tag = hashlib.sha1(
+        (os.environ.get('XLA_FLAGS', '') + '|'
+         + str(platform_sel)).encode()).hexdigest()[:8]
+    cache_dir = os.path.join(cache_dir, tag)
+    os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
