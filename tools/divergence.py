@@ -10,7 +10,11 @@ joining the geometrically matching features, and both engines step. Reports
   * matched steps before the running stats diverge
   * terminal-reward deltas for episodes both engines complete in lockstep
 
-Usage: python tools/divergence.py [n_seeds] [scenario]
+Usage: JAX_PLATFORMS=cpu python tools/divergence.py [n_seeds] [scenario|all]
+(the env var must be set at process start: the axon TPU plugin opens its
+tunnel connection during backend discovery even when jax.config later pins
+the cpu platform, and that connection blocks behind any training process
+holding the chip)
 Writes DIVERGENCE.md at the repo root when run as a script; the CI wrapper
 (tests/test_lockstep_episode.py::test_divergence_metrics) asserts thresholds
 on a smaller seed set.

@@ -12,6 +12,9 @@ geometry kernel instead of GeoDataFrame/GEOS/libpysal/momepy/networkx:
     new intersections and boundary bookkeeping, remaining-feasible re-add
   * road building (boundary -> road type flip)
   * rewards: road network, 15-minute life circle, greenness, planning concept
+    (all exact except greenness, which rasterizes the residential region at
+    GREEN_RASTER points — converged to <3.3e-4 of the reference's GEOS
+    buffer-area value on every pinned plan; bound in docs/GREENNESS.md)
 
 The jitted TPU environment (urban_tpu.jaxenv) mirrors the same semantics on
 fixed-size buffers; this class is its oracle and serves evaluation, plan
