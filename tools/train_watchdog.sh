@@ -1,0 +1,45 @@
+#!/bin/bash
+# Supervise the reference-defaults TPU training run: the axon TPU tunnel
+# occasionally drops the session server-side (observed twice in one run:
+# the process blocks forever inside a device transfer, log goes silent).
+# This watchdog restarts training from the newest checkpoint whenever the
+# log stops advancing for STALL_S seconds.
+#
+# Usage: bash tools/train_watchdog.sh <target_iterations>
+set -u
+cd "$(dirname "$0")/.."
+TARGET=${1:-1000}
+MODELDIR=/tmp/urban_tpu/hlg/111/models
+LOG=/tmp/refdefaults_watchdog.log
+RUNLOG=/tmp/refdefaults_current.log
+STALL_S=180
+
+echo "[watchdog] target=$TARGET iterations" >> "$LOG"
+while true; do
+  latest=$(ls -t "$MODELDIR"/tpu_iteration_*.p 2>/dev/null | head -1)
+  it=$(basename "${latest:-tpu_iteration_0000.p}" | grep -oE '[0-9]+')
+  it=$((10#$it))
+  if [ "$it" -ge "$((TARGET - 10))" ]; then
+    echo "[watchdog] reached iteration $it >= $((TARGET-10)); done" >> "$LOG"
+    break
+  fi
+  echo "[watchdog] $(date -u +%T) starting from iteration $it ($latest)" >> "$LOG"
+  python -m urban_tpu.rl.train_tpu --cfg hlg --global_seed 111 \
+    --num_envs 512 --rollout_len 50 --iterations "$TARGET" --eval_envs 64 \
+    ${latest:+--resume "$latest"} >> "$RUNLOG" 2>&1 &
+  pid=$!
+  echo "$pid" > /tmp/refdefaults.pid
+  # monitor: kill + restart if the run log stops growing for STALL_S
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 30
+    age=$(( $(date +%s) - $(stat -c %Y "$RUNLOG") ))
+    if [ "$age" -gt "$STALL_S" ]; then
+      echo "[watchdog] $(date -u +%T) log silent ${age}s; restarting" >> "$LOG"
+      kill "$pid" 2>/dev/null; sleep 3; kill -9 "$pid" 2>/dev/null
+      wait "$pid" 2>/dev/null
+      break
+    fi
+  done
+  # normal exit with target reached ends the loop on the next check
+  sleep 5
+done
