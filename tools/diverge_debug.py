@@ -42,6 +42,8 @@ def main(seed: int, scenario: str = 'hlg'):
     step_fn = jax.jit(lambda s, a: js.env_step(spec, s, a))
 
     rng = np.random.default_rng(seed)
+    prev_exist = plc._table.existence.copy()
+    prev_alive = np.asarray(state.poly_alive).copy()
     for step in range(60):
         if env._stage != 'land_use':
             print(f'step {step}: reached stage {env._stage}, stopping')
@@ -52,6 +54,13 @@ def main(seed: int, scenario: str = 'hlg'):
         t = js.pending_land_use_type(spec, state)
         jit_mask = np.asarray(js.land_use_mask(spec, state, t))
         n_h, n_j = len(valid), int(jit_mask.sum())
+        if n_h != n_j:
+            print(f'step {step}: MASK DRIFT host={n_h} jit={n_j} — dumping '
+                  f'geometry added by the previous step')
+            _dump_added(plc, state, prev_exist, prev_alive)
+            return
+        prev_exist = plc._table.existence.copy()
+        prev_alive = np.asarray(state.poly_alive).copy()
         action = int(rng.choice(valid))
         centroid, inter_xy = _host_action_identity(plc, action)
         jax_action, err = _jax_matching_edge(spec, state, centroid,
@@ -101,6 +110,41 @@ def main(seed: int, scenario: str = 'hlg'):
                   f'r_jax={float(r_jax):.4f}')
             break
     print('no divergence within horizon')
+
+
+def _dump_added(plc, state, prev_exist, prev_alive):
+    """Print every feature that appeared in each engine since the snapshot
+    (the geometry produced by the previous step's placement)."""
+    tb = plc._table
+    if len(prev_exist) < len(tb.existence):  # host table grows on placement
+        prev_exist = np.concatenate(
+            [prev_exist, np.zeros(len(tb.existence) - len(prev_exist),
+                                  dtype=bool)])
+    new_h = np.nonzero(tb.existence & ~prev_exist)[0]
+    print('  host features added:')
+    for i in new_h:
+        g = tb.geoms[i]
+        print(f'    id={i} type={tb.types[i]} kind={g.kind} '
+              f'area={g.area:.2f} coords={np.asarray(g.coords).tolist()}')
+    alive_j = np.asarray(state.poly_alive)
+    new_j = np.nonzero(alive_j & ~prev_alive)[0]
+    ring = np.asarray(state.poly_ring)
+    nv = np.asarray(state.poly_nvert)
+    tj = np.asarray(state.poly_type)
+    print('  jit polys added:')
+    for i in new_j:
+        print(f'    slot={i} type={tj[i]} nverts={nv[i]} '
+              f'coords={ring[i, :nv[i]].tolist()}')
+    # segments/points added (boundary bookkeeping drives the action mask)
+    seg = np.asarray(state.seg)
+    seg_alive = np.asarray(state.seg_alive)
+    print(f'  jit alive segs={int(seg_alive.sum())} '
+          f'pts={int(np.asarray(state.pt_alive).sum())}')
+    nseg_h = int(np.count_nonzero(tb.existence
+                                  & np.isin(tb.types, (3, 11, 12))))
+    npt_h = int(np.count_nonzero(tb.existence & (tb.types == 13)))
+    print(f'  host alive boundary/road-like rows={nseg_h} '
+          f'intersections={npt_h}')
 
 
 def _dump(plc, spec, state, centroid, inter_xy):

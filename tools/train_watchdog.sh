@@ -12,7 +12,14 @@ TARGET=${1:-1000}
 MODELDIR=/tmp/urban_tpu/hlg/111/models
 LOG=/tmp/refdefaults_watchdog.log
 RUNLOG=/tmp/refdefaults_current.log
-STALL_S=180
+# The first iteration after a (re)start spends ~600 s compiling the rollout
+# and update programs on the TPU side before any iteration line is printed
+# (log_train_tpu.txt iteration 0: T_sample 77 s + T_update 522 s), so a
+# fresh process must get a long grace period; a run that has already
+# printed an iteration line advances every ~13 s, so 240 s of silence
+# there means the tunnel really dropped.
+STARTUP_S=1200
+STALL_S=240
 
 echo "[watchdog] target=$TARGET iterations" >> "$LOG"
 while true; do
@@ -29,11 +36,22 @@ while true; do
     ${latest:+--resume "$latest"} >> "$RUNLOG" 2>&1 &
   pid=$!
   echo "$pid" > /tmp/refdefaults.pid
-  # monitor: kill + restart if the run log stops growing for STALL_S
+  # monitor: kill + restart if the run log stops growing. Until this
+  # process has printed its first iteration line ("T_sample"), allow the
+  # long compile (STARTUP_S); afterwards use the steady-state STALL_S.
+  start_ts=$(date +%s)
+  runlog_lines=$(wc -l < "$RUNLOG" 2>/dev/null || echo 0)
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30
+    if tail -n +$((runlog_lines + 1)) "$RUNLOG" 2>/dev/null | grep -q "T_sample"; then
+      limit=$STALL_S
+    else
+      limit=$STARTUP_S
+    fi
     age=$(( $(date +%s) - $(stat -c %Y "$RUNLOG") ))
-    if [ "$age" -gt "$STALL_S" ]; then
+    since_start=$(( $(date +%s) - start_ts ))
+    [ "$since_start" -lt "$age" ] && age=$since_start
+    if [ "$age" -gt "$limit" ]; then
       echo "[watchdog] $(date -u +%T) log silent ${age}s; restarting" >> "$LOG"
       kill "$pid" 2>/dev/null; sleep 3; kill -9 "$pid" 2>/dev/null
       wait "$pid" 2>/dev/null

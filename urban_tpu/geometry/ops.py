@@ -279,6 +279,33 @@ def split_pinched_ring(ring: np.ndarray, tol: float = 1e-9,
     return [ring]
 
 
+def cancel_zero_width(ring: np.ndarray, tol: float = 1e-7,
+                      min_area: float = 1e-9) -> List[np.ndarray]:
+    """Cancel zero-width flanges and bridges in a degenerate ring.
+
+    Half-plane clipping keeps subject vertices that lie ON the clip line, so
+    a wedge whose boundary runs along the line comes back with a zero-width
+    flange (out-and-back collinear spur); edge-sewing in ``_try_merge`` can
+    likewise emit a ring where a concavity that touches the boundary is
+    expressed as a hole plus a doubled "bridge" segment. GEOS never returns
+    such rings — the reference gets clean (Multi)Polygons from ``difference``
+    (ref urban_planning/envs/plan_client.py:445-471) — so the host oracle
+    must not either. Recover the clean pieces: insert every vertex onto any
+    non-adjacent edge it lies on, split at the resulting repeated vertices,
+    and drop zero-area slivers.
+    """
+    ring = dedupe_ring(np.asarray(ring, dtype=np.float64), tol)
+    if len(ring) < 3:
+        return []
+    r = _insert_on_segments(ring, ring, tol, closed=True)
+    if len(r) == len(ring):
+        d = np.linalg.norm(r[:, None, :] - r[None, :, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        if float(d.min()) > tol:  # simple ring: nothing inserted, no pinch
+            return [ring] if ring_area(ring) > min_area else []
+    return split_pinched_ring(r, tol, min_area)
+
+
 # ---------------------------------------------------------------------------
 # clipping
 # ---------------------------------------------------------------------------
@@ -350,7 +377,9 @@ def halfplane_clip(ring: np.ndarray, a: np.ndarray, b: np.ndarray,
         return []
     if len(chains) == 1:
         out = dedupe_ring(np.asarray(chains[0]), tol)
-        return [out] if len(out) >= 3 and ring_area(out) > min_area else []
+        if len(out) < 3:
+            return []
+        return cancel_zero_width(out, min_area=min_area)
 
     # pair chain endpoints along the clip line: spans between consecutive
     # crossings alternate inside/outside the kept region
@@ -382,8 +411,8 @@ def halfplane_clip(ring: np.ndarray, a: np.ndarray, b: np.ndarray,
             pts.extend(chains[cur])
             cur = next_chain.get(cur, ci)
         out = dedupe_ring(np.asarray(pts), tol)
-        if len(out) >= 3 and ring_area(out) > min_area:
-            rings.append(out)
+        if len(out) >= 3:
+            rings.extend(cancel_zero_width(out, min_area=min_area))
     return rings
 
 
@@ -443,8 +472,10 @@ def _merge_adjacent_pieces(pieces: List[np.ndarray], min_area: float) -> List[np
     merge pieces that share a (reversed) edge."""
     pieces = [p for p in pieces if ring_area(p) > min_area]
     changed = True
-    while changed and len(pieces) > 1:
+    guard = 4 * (len(pieces) + 1)  # sew-split cycles strictly shorten the
+    while changed and len(pieces) > 1 and guard > 0:  # doubled runs; bound anyway
         changed = False
+        guard -= 1
         for i in range(len(pieces)):
             for j in range(i + 1, len(pieces)):
                 # mutually insert vertices lying on the other ring's edges so
@@ -453,8 +484,12 @@ def _merge_adjacent_pieces(pieces: List[np.ndarray], min_area: float) -> List[np
                 pj = _insert_on_segments(pieces[j], pi, 1e-7, closed=True)
                 merged = _try_merge(pi, pj)
                 if merged is not None:
+                    # a merge along one edge of a multi-edge shared run leaves
+                    # the rest of the run doubled (a zero-width bridge): split
+                    # it back apart and keep sewing on the clean pieces
+                    parts = cancel_zero_width(merged, min_area=min_area)
                     pieces = ([pieces[k] for k in range(len(pieces)) if k not in (i, j)]
-                              + [merged])
+                              + parts)
                     changed = True
                     break
             if changed:

@@ -647,7 +647,29 @@ def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
     degenerate = run_ok & (diag <= 1e-3) & (ext <= 1e-3)
     run_ok = run_ok & ~degenerate
     dmat = jnp.where(run_ok[None, :], dmat, BIG)
-    sigma = jnp.where(run_ok, jnp.argmin(dmat, axis=1), idx)
+    # Greedy unique tail->head matching in increasing arc distance. A plain
+    # per-row argmin breaks at a PINCH — a subject region touching the hull
+    # boundary at a point splits into two runs whose tail/head coincide
+    # there, so two tails claim the same head, sigma stops being a
+    # permutation and the assembly drops a whole lobe (grid seed 103,
+    # DIVERGENCE.md round 5). Greedy gives the 0-distance pinch link its
+    # head first and forces the displaced run onto the next head along the
+    # walk — the 2-cycle that assembles the host's bridged single ring
+    # (host _difference_pieces keeps point-connected components together,
+    # plan_client.py:918-933). In non-degenerate position each tail's
+    # nearest head is unique and this reduces to the old argmin.
+    sigma = idx
+    row_done = ~run_ok
+    col_used = ~run_ok
+    for _ in range(n_pieces):
+        cost = jnp.where(row_done[:, None] | col_used[None, :], BIG, dmat)
+        flat = jnp.argmin(cost)
+        r = flat // n_pieces
+        h = flat % n_pieces
+        ok = cost.reshape(-1)[flat] < BIG
+        sigma = jnp.where(ok & (idx == r), h, sigma)
+        row_done = row_done | (ok & (idx == r))
+        col_used = col_used | (ok & (idx == h))
 
     # hull corners on the closing arc from tail(r) to head(sigma(r))
     k_head_s = k_head[sigma]
@@ -663,6 +685,12 @@ def arc_pieces(ring: jnp.ndarray, nvert: jnp.ndarray, hull: jnp.ndarray,
         c_idx = jnp.mod(k_tail[:, None] - jnp.arange(kh)[None, :], nh_s)
     same = (count == 0) & ~direct
     count = jnp.where(same, nh_s, count)
+    # pinch link: tail and linked head are the SAME point but sit at a hull
+    # corner, registered on the corner's two different planes — the
+    # plane-index arithmetic above then reads a near-full hull walk where
+    # the true closing arc has zero length and no corners
+    pinch = jnp.linalg.norm(xy_head_s - xy_tail, axis=-1) <= 1e-3
+    count = jnp.where(pinch, 0, count)
     count = jnp.where(run_ok, count, 0)
 
     # cycles of sigma: representative = min run index reachable; emission
