@@ -228,20 +228,35 @@ after every road step (round 5 extends the replay through the road stage
 together, and a step where both engines reject the same action with the
 terminal failure reward counting as parity, not divergence.
 
-The residual divergence class is ill-conditioned crossing coordinates:
-when a cut side meets a block edge at a near-parallel angle, the f32
-intersection point can drift ~0.1 grid units from the float64 host's
-(measured: host 935.766 vs jit 935.780 on seed 101) — far inside the
-engine's 1.0-unit snap tolerance, so the plans stay functionally
-identical, but a later borderline decision (a DP keep, a sliver
-threshold) can eventually flip. This is an f32-vs-f64 conditioning limit,
-not a missing branch; the full residual-deviation registry is the
-DEVIATIONS section of urban_tpu/jaxenv/step.py. Terminal rewards of
-lockstep completions agree to the documented sampled-greenness deviation
-(see docs/GREENNESS.md for the raster-convergence bound on the host
-side).
-"""
+Round 5 closed the two dominant residual classes:
 
+1. **Host zero-width flanges/bridges** (the bulk of the old grid tail,
+   0.40 lockstep): half-plane wedge clipping kept subject vertices lying
+   ON the clip line, so a difference against a boundary-touching parcel
+   came back with a zero-width flange or a hole-plus-bridge ring that
+   GEOS would never produce; the snap stage then saw phantom "new
+   intersection" vertices and failed episodes the reference accepts.
+   Fixed by cancel_zero_width in geometry/ops.py (self-insert vertices
+   onto non-adjacent edges, split at repeated vertices). This was a HOST
+   oracle bug — the jit engine was already correct, and fixing it also
+   recovered previously-divergent hlg seeds (117, 129, 140).
+2. **Jit arc-assembly pinch** (grid seed 103 class): per-row argmin
+   tail→head matching in arc_pieces stopped being a permutation when a
+   subject region touched the hull at a point; replaced with greedy
+   unique matching in increasing arc distance.
+
+The residual divergence class remains ill-conditioned borderline
+decisions: when a cut side meets a block edge at a near-parallel angle,
+the f32 intersection point can drift ~0.1 grid units from the float64
+host's — far inside the engine's 1.0-unit snap tolerance, so the plans
+stay functionally identical, but a later borderline decision (a DP keep,
+a sliver threshold, a snap tie) can eventually flip. This is an
+f32-vs-f64 conditioning limit, not a missing branch; the full
+residual-deviation registry is the DEVIATIONS section of
+urban_tpu/jaxenv/step.py. Terminal rewards of lockstep completions agree
+to the documented sampled-greenness deviation (see docs/GREENNESS.md for
+the raster-convergence bound on the host side).
+"""
 def _scenario_section(summary, results):
     lines = [
         '',

@@ -19,7 +19,11 @@ RUNLOG=/tmp/refdefaults_current.log
 # printed an iteration line advances every ~13 s, so 240 s of silence
 # there means the tunnel really dropped.
 STARTUP_S=1200
-STALL_S=240
+# Steady-state silence threshold. Must exceed the worst host-side stall a
+# CONCURRENT CPU job can impose on the trainer's between-iteration work on
+# this 1-CPU box (a divergence replay starved the loop >260 s); a restart
+# costs ~600 s of recompile, so killing earlier than that is never a win.
+STALL_S=600
 
 echo "[watchdog] target=$TARGET iterations" >> "$LOG"
 while true; do

@@ -560,6 +560,12 @@ def compute_cutter(ring, nv, X, pts, pt_alive, lp: LuParams):
 
     Mirrors host slice_polygon through simplify_and_classify and the full
     decision tree. Returns (simplified_ring, simplified_nv, quad, fail)."""
+    # the host classifies on polygon.canonicalize() (slicer.py:512 —
+    # reference plan_client.py:361-402), so the corner touching-edge ORDER
+    # ((next, prev) vs (prev, next)) depends on the ring's rotation: enter
+    # in the host's canonical frame or the L/U-shape lanes swap (grid
+    # seed 112 class, DIVERGENCE.md round 5)
+    ring, nv = jg.canonicalize_ring(ring, nv)
     S, snv = simplify_by_angle(ring, nv)
     kv = S.shape[0]
     m = jg.ring_mask(snv, kv)
